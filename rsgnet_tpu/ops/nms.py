@@ -1,0 +1,199 @@
+"""OKS computation and OKS-NMS — vectorized device kernels + NumPy oracle.
+
+The reference's only in-repo native code is its NMS stack (SURVEY.md §2.14:
+``lib/nms/nms.py`` + Cython ``cpu_nms`` + CUDA ``gpu_nms``). The TPU-native
+redesign replaces the data-dependent greedy suppression loop with:
+
+- a fully vectorized pairwise OKS matrix (one fused VPU expression over
+  (M, M, K)), and
+- a fixed-iteration masked greedy pass (``lax.fori_loop`` over instance
+  slots) that is jit-compatible with static shapes — instances are padded to
+  a fixed maximum per image and masked by score.
+
+A NumPy oracle (`oks_iou`, `oks_nms_np`, `soft_oks_nms_np`) mirrors the
+reference Python semantics for parity tests, and csrc/oks_nms.cpp provides
+the C++ host fallback (the native-code analogue of the reference's Cython).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# NumPy oracle — mirrors reference lib/nms/nms.py semantics
+# ---------------------------------------------------------------------------
+
+def oks_iou(g, d, a_g, a_d, sigmas, in_vis_thre=None):
+    """OKS between one gt pose ``g`` (51,) and rows of ``d`` (M, 51)."""
+    sigmas = np.asarray(sigmas, np.float64)
+    vars_ = (sigmas * 2) ** 2
+    xg, yg, vg = g[0::3], g[1::3], g[2::3]
+    ious = np.zeros(d.shape[0])
+    for n_d in range(d.shape[0]):
+        xd, yd, vd = d[n_d, 0::3], d[n_d, 1::3], d[n_d, 2::3]
+        dx, dy = xd - xg, yd - yg
+        e = (dx ** 2 + dy ** 2) / vars_ / ((a_g + a_d[n_d]) / 2 + np.spacing(1)) / 2
+        if in_vis_thre is not None:
+            ind = (vg > in_vis_thre) & (vd > in_vis_thre)
+            e = e[ind]
+        ious[n_d] = np.sum(np.exp(-e)) / e.shape[0] if e.shape[0] != 0 else 0.0
+    return ious
+
+
+def oks_nms_np(kpts_db, thresh, sigmas, in_vis_thre=None):
+    """Greedy OKS-NMS (reference `oks_nms`). kpts_db: list of dicts with
+    'keypoints' (K, 3), 'score', 'area'. Returns kept indices."""
+    if len(kpts_db) == 0:
+        return []
+    scores = np.array([k['score'] for k in kpts_db])
+    kpts = np.array([k['keypoints'].flatten() for k in kpts_db])
+    areas = np.array([k['area'] for k in kpts_db])
+    order = scores.argsort()[::-1]
+    keep = []
+    while order.size > 0:
+        i = order[0]
+        keep.append(i)
+        oks_ovr = oks_iou(kpts[i], kpts[order[1:]], areas[i], areas[order[1:]],
+                          sigmas, in_vis_thre)
+        inds = np.where(oks_ovr <= thresh)[0]
+        order = order[inds + 1]
+    return keep
+
+
+def soft_oks_nms_np(kpts_db, thresh, sigmas, in_vis_thre=None, max_dets=20):
+    """Soft OKS-NMS (reference `soft_oks_nms`): gaussian score decay."""
+    if len(kpts_db) == 0:
+        return [], []
+    scores = np.array([k['score'] for k in kpts_db], dtype=np.float64)
+    kpts = np.array([k['keypoints'].flatten() for k in kpts_db])
+    areas = np.array([k['area'] for k in kpts_db])
+    order = scores.argsort()[::-1]
+    scores = scores[order]
+    keep = np.zeros(max_dets, dtype=np.intp)
+    keep_cnt = 0
+    while order.size > 0 and keep_cnt < max_dets:
+        i = order[0]
+        oks_ovr = oks_iou(kpts[i], kpts[order[1:]], areas[i], areas[order[1:]],
+                          sigmas, in_vis_thre)
+        order = order[1:]
+        scores = _rescore(oks_ovr, scores[1:], thresh)
+        tmp = scores.argsort()[::-1]
+        order = order[tmp]
+        scores = scores[tmp]
+        keep[keep_cnt] = i
+        keep_cnt += 1
+    return list(keep[:keep_cnt]), scores
+
+
+def _rescore(overlap, scores, thresh, type='gaussian'):
+    if type == 'linear':
+        inds = np.where(overlap >= thresh)[0]
+        scores[inds] = scores[inds] * (1 - overlap[inds])
+    else:
+        scores = scores * np.exp(-overlap ** 2 / thresh)
+    return scores
+
+
+# ---------------------------------------------------------------------------
+# JAX vectorized device implementation
+# ---------------------------------------------------------------------------
+
+def oks_matrix_jax(kpts, areas, sigmas, vis=None, in_vis_thre=None):
+    """Pairwise OKS over padded instances.
+
+    kpts: (M, K, 3) poses [x, y, score]; areas: (M,); sigmas: (K,).
+    Returns (M, M) OKS matrix (diagonal = self-OKS, ~1).
+    """
+    kpts = jnp.asarray(kpts, jnp.float32)
+    sigmas = jnp.asarray(sigmas, jnp.float32)
+    vars_ = (sigmas * 2.0) ** 2
+    xy = kpts[..., :2]
+    d2 = jnp.sum((xy[:, None, :, :] - xy[None, :, :, :]) ** 2, axis=-1)
+    denom_area = (areas[:, None] + areas[None, :]) / 2.0 + 1e-9
+    e = d2 / vars_[None, None, :] / denom_area[..., None] / 2.0
+    ek = jnp.exp(-e)
+    if in_vis_thre is not None:
+        v = kpts[..., 2]
+        mask = ((v[:, None, :] > in_vis_thre)
+                & (v[None, :, :] > in_vis_thre)).astype(jnp.float32)
+        cnt = jnp.sum(mask, axis=-1)
+        return jnp.where(cnt > 0, jnp.sum(ek * mask, axis=-1)
+                         / jnp.maximum(cnt, 1.0), 0.0)
+    k = kpts.shape[1]
+    return jnp.sum(ek, axis=-1) / k
+
+
+def oks_nms_jax(kpts, scores, areas, sigmas, thresh, valid=None,
+                in_vis_thre=None):
+    """Fixed-iteration greedy OKS-NMS on device.
+
+    Args:
+      kpts: (M, K, 3) padded poses; scores: (M,); areas: (M,).
+      valid: (M,) bool — padding mask (False rows never kept).
+
+    Returns:
+      keep: (M,) bool mask of surviving instances.
+
+    Equivalent to the reference greedy loop: process instances in descending
+    score order; keep an instance iff no higher-scored *kept* instance
+    overlaps it with OKS > thresh.
+    """
+    m = kpts.shape[0]
+    scores = jnp.asarray(scores, jnp.float32)
+    if valid is None:
+        valid = jnp.ones((m,), bool)
+    oks = oks_matrix_jax(kpts, jnp.asarray(areas, jnp.float32), sigmas,
+                         in_vis_thre=in_vis_thre)
+    order = jnp.argsort(-scores)                     # descending
+    # oks reordered so row/col i = i-th best instance
+    oks_sorted = oks[order][:, order]
+    valid_sorted = valid[order]
+
+    def body(i, keep):
+        # suppressed iff any kept j < i has oks > thresh
+        over = (oks_sorted[i] > thresh) & keep
+        prior = jnp.arange(m) < i
+        suppressed = jnp.any(over & prior)
+        return keep.at[i].set(valid_sorted[i] & ~suppressed)
+
+    keep_sorted = jax.lax.fori_loop(0, m, body, jnp.zeros((m,), bool))
+    # scatter back to original order
+    keep = jnp.zeros((m,), bool).at[order].set(keep_sorted)
+    return keep
+
+
+def soft_oks_nms_jax(kpts, scores, areas, sigmas, thresh, valid=None,
+                     in_vis_thre=None, max_dets=20):
+    """Soft OKS-NMS with gaussian decay, fixed iterations, on device.
+
+    Returns (keep_mask, new_scores): instances selected in up to ``max_dets``
+    rounds with their decayed scores.
+    """
+    m = kpts.shape[0]
+    scores = jnp.asarray(scores, jnp.float32)
+    if valid is None:
+        valid = jnp.ones((m,), bool)
+    oks = oks_matrix_jax(kpts, jnp.asarray(areas, jnp.float32), sigmas,
+                         in_vis_thre=in_vis_thre)
+    neg_inf = jnp.float32(-1e30)
+    live_scores = jnp.where(valid, scores, neg_inf)
+
+    def body(_, state):
+        live_scores, out_scores, keep = state
+        i = jnp.argmax(live_scores)
+        ok = live_scores[i] > neg_inf / 2
+        decay = jnp.exp(-(oks[i] ** 2) / thresh)
+        new_live = jnp.where(ok, live_scores * decay, live_scores)
+        new_live = new_live.at[i].set(neg_inf)
+        keep = keep.at[i].set(keep[i] | ok)
+        out_scores = out_scores.at[i].set(
+            jnp.where(ok, live_scores[i], out_scores[i]))
+        return new_live, out_scores, keep
+
+    rounds = min(max_dets, m)
+    _, out_scores, keep = jax.lax.fori_loop(
+        0, rounds, body,
+        (live_scores, jnp.asarray(scores), jnp.zeros((m,), bool)))
+    return keep, out_scores

@@ -1,0 +1,132 @@
+"""Batched on-device affine crop/warp — replaces ``cv2.warpAffine``.
+
+The reference preprocessing (SURVEY.md §2.9, §3.4) does, per sample and on the
+host CPU: ``get_affine_transform`` + ``cv2.warpAffine(img, trans, (W, H),
+flags=INTER_LINEAR)``. Here the whole thing is a single gather-based bilinear
+sampler traced under ``jit`` so the crop + resize + normalize pipeline runs on
+device, batched, feeding the model at line rate (BASELINE.json:5).
+
+cv2.warpAffine semantics reproduced:
+- ``trans`` maps SRC -> DST points; the sampler therefore evaluates
+  ``src_xy = inv(trans) @ (dst_x, dst_y, 1)`` per destination pixel.
+- INTER_LINEAR bilinear interpolation on the 4 integer neighbors.
+- BORDER_CONSTANT(0): out-of-bounds taps contribute 0.
+
+Pixel-center convention: integer coordinates are sample positions (cv2 uses
+``src_x = M00*x + M01*y + M02`` with x, y integer destination indices) — no
+half-pixel offset, which matches cv2's warpAffine exactly.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def invert_affine(trans):
+    """Invert 2x3 affine matrices. trans: (..., 2, 3) -> (..., 2, 3)."""
+    a = trans[..., 0, 0]
+    b = trans[..., 0, 1]
+    c = trans[..., 0, 2]
+    d = trans[..., 1, 0]
+    e = trans[..., 1, 1]
+    f = trans[..., 1, 2]
+    det = a * e - b * d
+    inv_det = 1.0 / det
+    ia = e * inv_det
+    ib = -b * inv_det
+    id_ = -d * inv_det
+    ie = a * inv_det
+    ic = -(ia * c + ib * f)
+    if_ = -(id_ * c + ie * f)
+    row0 = jnp.stack([ia, ib, ic], axis=-1)
+    row1 = jnp.stack([id_, ie, if_], axis=-1)
+    return jnp.stack([row0, row1], axis=-2)
+
+
+def affine_warp(image, trans, out_size):
+    """Warp one image with a src->dst 2x3 transform (cv2.warpAffine semantics).
+
+    Args:
+      image: (H, W, C) float array.
+      trans: (2, 3) src->dst affine matrix (as from ``get_affine_transform``).
+      out_size: static (out_w, out_h).
+
+    Returns:
+      (out_h, out_w, C) warped image, zeros outside the source.
+    """
+    out_w, out_h = int(out_size[0]), int(out_size[1])
+    inv = invert_affine(jnp.asarray(trans, jnp.float32))
+
+    dst_x = jax.lax.broadcasted_iota(jnp.float32, (out_h, out_w), 1)
+    dst_y = jax.lax.broadcasted_iota(jnp.float32, (out_h, out_w), 0)
+    src_x = inv[0, 0] * dst_x + inv[0, 1] * dst_y + inv[0, 2]
+    src_y = inv[1, 0] * dst_x + inv[1, 1] * dst_y + inv[1, 2]
+    return _bilinear_gather(image, src_x, src_y)
+
+
+def _bilinear_gather(image, src_x, src_y):
+    """Bilinear sample ``image`` (H, W, C) at float coords; 0 outside."""
+    h, w = image.shape[0], image.shape[1]
+    x0 = jnp.floor(src_x)
+    y0 = jnp.floor(src_y)
+    wx = src_x - x0
+    wy = src_y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def tap(yi, xi):
+        valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        xc = jnp.clip(xi, 0, w - 1)
+        yc = jnp.clip(yi, 0, h - 1)
+        vals = image[yc, xc]                       # gather: (out_h, out_w, C)
+        return jnp.where(valid[..., None], vals, 0.0)
+
+    v00 = tap(y0i, x0i)
+    v01 = tap(y0i, x0i + 1)
+    v10 = tap(y0i + 1, x0i)
+    v11 = tap(y0i + 1, x0i + 1)
+
+    wx = wx[..., None]
+    wy = wy[..., None]
+    top = v00 * (1.0 - wx) + v01 * wx
+    bot = v10 * (1.0 - wx) + v11 * wx
+    return top * (1.0 - wy) + bot * wy
+
+
+def affine_warp_batch(images, trans, out_size):
+    """vmap'd ``affine_warp``: images (N, H, W, C), trans (N, 2, 3)."""
+    return jax.vmap(lambda im, t: affine_warp(im, t, out_size))(images, trans)
+
+
+# ImageNet normalization constants used by the whole HRNet family (RGB).
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def normalize_image(image, mean=IMAGENET_MEAN, std=IMAGENET_STD):
+    """(pix/255 - mean) / std, channels-last. Fused into the warp under jit."""
+    mean = jnp.asarray(mean, jnp.float32)
+    std = jnp.asarray(std, jnp.float32)
+    return (image / 255.0 - mean) / std
+
+
+def crop_and_normalize(images, trans, out_size, flip=None):
+    """The fused preprocessing kernel: warp -> (optional hflip) -> normalize.
+
+    Args:
+      images: (N, H, W, 3) uint8/float source images (padded to a common size).
+      trans: (N, 2, 3) src->dst transforms.
+      out_size: static (out_w, out_h) model input size.
+      flip: optional (N,) bool — horizontally flip the *cropped* output.
+        (Training flips are folded into ``trans`` instead; this flag serves
+        flip-test inference where the unflipped crop is also needed.)
+
+    Returns:
+      (N, out_h, out_w, 3) float32 normalized inputs.
+    """
+    images = jnp.asarray(images, jnp.float32)
+    crops = affine_warp_batch(images, trans, out_size)
+    if flip is not None:
+        flipped = crops[:, :, ::-1, :]
+        crops = jnp.where(flip[:, None, None, None], flipped, crops)
+    return normalize_image(crops)

@@ -1,0 +1,23 @@
+"""Test harness config: force the CPU backend with 8 virtual devices.
+
+Per SURVEY.md §4(3): CI needs no TPU — everything runs on the CPU backend,
+and multi-chip sharding logic is exercised against a virtual 8-device mesh
+via ``--xla_force_host_platform_device_count=8``. Must run before jax import.
+"""
+import os
+
+# NOTE: the axon site hook (PYTHONPATH=/root/.axon_site) re-pins
+# JAX_PLATFORMS=axon at interpreter startup, so the env var alone is not
+# enough — jax.config.update('jax_platforms', ...) after import wins.
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+# NOTE: x64 stays OFF — the library must behave identically under the f32-only
+# TPU semantics; NumPy oracles use float64 on their own side where needed.

@@ -1,0 +1,95 @@
+"""OKS-NMS parity: device kernels vs. reference-semantics NumPy oracle."""
+import numpy as np
+import jax.numpy as jnp
+
+from rsgnet_tpu.ops import nms
+from rsgnet_tpu.data.skeletons import COCO
+
+
+def _rand_db(rng, m=12, k=17, clusters=3):
+    """Poses in a few clusters so NMS actually suppresses."""
+    db = []
+    centers = rng.uniform(100, 400, size=(clusters, 2))
+    for i in range(m):
+        c = centers[i % clusters]
+        kpts = np.zeros((k, 3), np.float32)
+        kpts[:, :2] = c + rng.normal(scale=8.0, size=(k, 2))
+        kpts[:, 2] = rng.uniform(0.3, 1.0, size=k)
+        db.append({
+            "keypoints": kpts,
+            "score": float(rng.uniform(0.1, 1.0)),
+            "area": float(rng.uniform(3000, 9000)),
+        })
+    return db
+
+
+def test_oks_matrix_matches_oracle():
+    rng = np.random.RandomState(0)
+    db = _rand_db(rng)
+    kpts = np.stack([d["keypoints"] for d in db])
+    areas = np.array([d["area"] for d in db])
+    got = np.asarray(nms.oks_matrix_jax(kpts, jnp.asarray(areas, jnp.float32),
+                                        COCO.sigmas))
+    for i in range(len(db)):
+        want = nms.oks_iou(kpts[i].flatten(),
+                           kpts.reshape(len(db), -1), areas[i], areas,
+                           COCO.sigmas)
+        np.testing.assert_allclose(got[i], want, rtol=1e-4, atol=1e-5)
+
+
+def test_oks_nms_parity():
+    for seed in range(5):
+        rng = np.random.RandomState(seed)
+        db = _rand_db(rng)
+        want = sorted(nms.oks_nms_np(db, 0.9, COCO.sigmas))
+        kpts = np.stack([d["keypoints"] for d in db])
+        scores = np.array([d["score"] for d in db], np.float32)
+        areas = np.array([d["area"] for d in db], np.float32)
+        keep = np.asarray(nms.oks_nms_jax(kpts, scores, areas, COCO.sigmas, 0.9))
+        got = sorted(np.nonzero(keep)[0].tolist())
+        assert got == want, (seed, got, want)
+
+
+def test_oks_nms_padding_mask():
+    rng = np.random.RandomState(1)
+    db = _rand_db(rng, m=6)
+    kpts = np.stack([d["keypoints"] for d in db])
+    scores = np.array([d["score"] for d in db], np.float32)
+    areas = np.array([d["area"] for d in db], np.float32)
+    # pad with garbage rows marked invalid
+    pad = 4
+    kpts_p = np.concatenate([kpts, np.zeros((pad, 17, 3), np.float32)])
+    scores_p = np.concatenate([scores, np.full((pad,), 2.0, np.float32)])
+    areas_p = np.concatenate([areas, np.ones((pad,), np.float32)])
+    valid = np.concatenate([np.ones(6, bool), np.zeros(pad, bool)])
+    keep = np.asarray(nms.oks_nms_jax(kpts_p, scores_p, areas_p, COCO.sigmas,
+                                      0.9, valid=jnp.asarray(valid)))
+    assert not keep[6:].any()
+    want = sorted(nms.oks_nms_np(db, 0.9, COCO.sigmas))
+    assert sorted(np.nonzero(keep[:6])[0].tolist()) == want
+
+
+def test_soft_oks_nms_selects_highest_first():
+    rng = np.random.RandomState(2)
+    db = _rand_db(rng, m=8)
+    kpts = np.stack([d["keypoints"] for d in db])
+    scores = np.array([d["score"] for d in db], np.float32)
+    areas = np.array([d["area"] for d in db], np.float32)
+    keep, new_scores = nms.soft_oks_nms_jax(kpts, scores, areas, COCO.sigmas,
+                                            0.9, max_dets=8)
+    keep = np.asarray(keep)
+    assert keep[np.argmax(scores)]
+    # every selected score is <= its original (decay only reduces)
+    assert np.all(np.asarray(new_scores)[keep] <= scores[keep] + 1e-6)
+
+
+def test_oks_identical_poses():
+    kpts = np.zeros((2, 17, 3), np.float32)
+    kpts[:, :, :2] = 50.0
+    kpts[:, :, 2] = 1.0
+    areas = np.array([5000.0, 5000.0], np.float32)
+    m = np.asarray(nms.oks_matrix_jax(kpts, areas, COCO.sigmas))
+    np.testing.assert_allclose(m, 1.0, atol=1e-5)
+    keep = np.asarray(nms.oks_nms_jax(
+        kpts, np.array([0.9, 0.8], np.float32), areas, COCO.sigmas, 0.9))
+    np.testing.assert_array_equal(keep, [True, False])
