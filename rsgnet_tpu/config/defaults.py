@@ -1,0 +1,235 @@
+"""Typed config tree mirroring the reference yacs schema (SURVEY.md §2.4-2.6).
+
+The reference (`lib/config/default.py`) builds a yacs ``CfgNode`` merged with
+experiment YAML + argparse overrides. Here the same tree is typed dataclasses
+with **identical key names and default values**, so reference experiment YAMLs
+port 1:1 (``load_config`` consumes them directly).
+
+Topology-as-data is preserved: MODEL.EXTRA carries the STAGE2/3/4 dicts that
+fully determine the HRNet variant (W32/W48 are pure config).
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, List, Optional, Tuple
+
+
+@dataclass
+class StageConfig:
+    NUM_MODULES: int = 1
+    NUM_BRANCHES: int = 2
+    NUM_BLOCKS: Tuple[int, ...] = (4, 4)
+    NUM_CHANNELS: Tuple[int, ...] = (32, 64)
+    BLOCK: str = "BASIC"
+    FUSE_METHOD: str = "SUM"
+
+
+def _w32_extra():
+    return ModelExtra(
+        STAGE2=StageConfig(1, 2, (4, 4), (32, 64)),
+        STAGE3=StageConfig(4, 3, (4, 4, 4), (32, 64, 128)),
+        STAGE4=StageConfig(3, 4, (4, 4, 4, 4), (32, 64, 128, 256)),
+    )
+
+
+@dataclass
+class ModelExtra:
+    PRETRAINED_LAYERS: Tuple[str, ...] = ("*",)
+    FINAL_CONV_KERNEL: int = 1
+    STAGE2: StageConfig = field(default_factory=StageConfig)
+    STAGE3: StageConfig = field(
+        default_factory=lambda: StageConfig(4, 3, (4, 4, 4), (32, 64, 128)))
+    STAGE4: StageConfig = field(
+        default_factory=lambda: StageConfig(3, 4, (4, 4, 4, 4),
+                                            (32, 64, 128, 256)))
+
+
+@dataclass
+class RSGConfig:
+    """Relation/skeleton-graph head knobs (reference §2.8; head is toggleable
+    per BASELINE.json:10 'relation/skeleton-graph module enabled')."""
+    ENABLED: bool = False
+    NODE_CHANNELS: int = 64          # per-keypoint node embedding width
+    GCN_LAYERS: int = 2              # skeleton-graph message-passing rounds
+    RELATION_CHANNELS: int = 64      # instance-relation (global) embedding
+    REFINE_BLOCKS: int = 1           # conv blocks fusing node context back
+
+
+@dataclass
+class ModelConfig:
+    NAME: str = "pose_hrnet"
+    INIT_WEIGHTS: bool = True
+    PRETRAINED: str = ""
+    NUM_JOINTS: int = 17
+    TAG_PER_JOINT: bool = True
+    TARGET_TYPE: str = "gaussian"
+    IMAGE_SIZE: Tuple[int, int] = (192, 256)     # (w, h)
+    HEATMAP_SIZE: Tuple[int, int] = (48, 64)     # (w, h)
+    SIGMA: int = 2
+    EXTRA: ModelExtra = field(default_factory=_w32_extra)
+    RSG: RSGConfig = field(default_factory=RSGConfig)
+
+
+@dataclass
+class LossConfig:
+    USE_OHKM: bool = False
+    TOPK: int = 8
+    USE_TARGET_WEIGHT: bool = True
+    USE_DIFFERENT_JOINTS_WEIGHT: bool = False
+
+
+@dataclass
+class DatasetConfig:
+    ROOT: str = ""
+    DATASET: str = "coco"
+    TRAIN_SET: str = "train2017"
+    TEST_SET: str = "val2017"
+    DATA_FORMAT: str = "jpg"
+    HYBRID_JOINTS_TYPE: str = ""
+    SELECT_DATA: bool = False
+    FLIP: bool = True
+    SCALE_FACTOR: float = 0.35
+    ROT_FACTOR: float = 45.0
+    PROB_HALF_BODY: float = 0.3
+    NUM_JOINTS_HALF_BODY: int = 8
+    COLOR_RGB: bool = True
+
+
+@dataclass
+class TrainConfig:
+    LR_FACTOR: float = 0.1
+    LR_STEP: Tuple[int, ...] = (170, 200)
+    LR: float = 0.001
+    OPTIMIZER: str = "adam"
+    MOMENTUM: float = 0.9
+    WD: float = 0.0001
+    NESTEROV: bool = False
+    GAMMA1: float = 0.99
+    GAMMA2: float = 0.0
+    BEGIN_EPOCH: int = 0
+    END_EPOCH: int = 210
+    RESUME: bool = False
+    AUTO_RESUME: bool = True
+    CHECKPOINT: str = ""
+    BATCH_SIZE_PER_GPU: int = 32
+    SHUFFLE: bool = True
+
+
+@dataclass
+class TestConfig:
+    BATCH_SIZE_PER_GPU: int = 32
+    COCO_BBOX_FILE: str = ""
+    BBOX_THRE: float = 1.0
+    IMAGE_THRE: float = 0.0
+    IN_VIS_THRE: float = 0.2
+    MODEL_FILE: str = ""
+    NMS_THRE: float = 1.0
+    OKS_THRE: float = 0.9
+    SOFT_NMS: bool = False
+    FLIP_TEST: bool = True
+    POST_PROCESS: bool = True
+    SHIFT_HEATMAP: bool = True
+    USE_GT_BBOX: bool = True
+    BLUR_KERNEL: int = 11
+    DECODE: str = "default"          # "default" (quarter-offset) | "dark"
+
+
+@dataclass
+class DebugConfig:
+    DEBUG: bool = False
+    SAVE_BATCH_IMAGES_GT: bool = False
+    SAVE_BATCH_IMAGES_PRED: bool = False
+    SAVE_HEATMAPS_GT: bool = False
+    SAVE_HEATMAPS_PRED: bool = False
+
+
+@dataclass
+class Config:
+    OUTPUT_DIR: str = "output"
+    LOG_DIR: str = "log"
+    DATA_DIR: str = ""
+    GPUS: Tuple[int, ...] = (0,)
+    WORKERS: int = 4
+    PRINT_FREQ: int = 100
+    AUTO_RESUME: bool = True
+    PIN_MEMORY: bool = True
+    RANK: int = 0
+    MODEL: ModelConfig = field(default_factory=ModelConfig)
+    LOSS: LossConfig = field(default_factory=LossConfig)
+    DATASET: DatasetConfig = field(default_factory=DatasetConfig)
+    TRAIN: TrainConfig = field(default_factory=TrainConfig)
+    TEST: TestConfig = field(default_factory=TestConfig)
+    DEBUG: DebugConfig = field(default_factory=DebugConfig)
+    # TPU-native additions (not in the reference schema):
+    DTYPE: str = "bfloat16"          # compute dtype for the conv stack
+    MESH_DATA_AXIS: str = "data"     # name of the data-parallel mesh axis
+
+    @property
+    def aspect_ratio(self) -> float:
+        return self.MODEL.IMAGE_SIZE[0] / self.MODEL.IMAGE_SIZE[1]
+
+
+def _merge(obj: Any, d: dict, path=""):
+    """Recursively merge a plain dict (from YAML) into a dataclass tree."""
+    for k, v in d.items():
+        if not hasattr(obj, k):
+            raise KeyError(f"unknown config key {path}{k}")
+        cur = getattr(obj, k)
+        if dataclasses.is_dataclass(cur) and isinstance(v, dict):
+            _merge(cur, v, path + k + ".")
+        else:
+            if isinstance(cur, tuple) and isinstance(v, (list, tuple)):
+                v = tuple(v)
+            setattr(obj, k, v)
+    return obj
+
+
+def update_config(cfg: Config, yaml_dict: dict) -> Config:
+    """Merge a reference-style experiment YAML dict into ``cfg`` in place."""
+    return _merge(cfg, yaml_dict)
+
+
+def load_config(yaml_path: Optional[str] = None, overrides: Optional[dict] = None) -> Config:
+    """Build a Config from defaults + experiment YAML + override dict."""
+    cfg = Config()
+    if yaml_path:
+        import yaml
+        with open(yaml_path) as f:
+            update_config(cfg, yaml.safe_load(f))
+    if overrides:
+        update_config(cfg, overrides)
+    return cfg
+
+
+# Canonical variants (reference experiments/coco/hrnet/*.yaml values)
+def w32_256x192() -> Config:
+    return Config()
+
+
+def w48_384x288() -> Config:
+    cfg = Config()
+    cfg.MODEL.IMAGE_SIZE = (288, 384)
+    cfg.MODEL.HEATMAP_SIZE = (72, 96)
+    cfg.MODEL.SIGMA = 3
+    cfg.MODEL.EXTRA = ModelExtra(
+        STAGE2=StageConfig(1, 2, (4, 4), (48, 96)),
+        STAGE3=StageConfig(4, 3, (4, 4, 4), (48, 96, 192)),
+        STAGE4=StageConfig(3, 4, (4, 4, 4, 4), (48, 96, 192, 384)),
+    )
+    return cfg
+
+
+def rsgnet_w32_256x192() -> Config:
+    cfg = Config()
+    cfg.MODEL.NAME = "pose_rsgnet"
+    cfg.MODEL.RSG.ENABLED = True
+    return cfg
+
+
+def crowdpose_rsgnet_w32() -> Config:
+    cfg = rsgnet_w32_256x192()
+    cfg.MODEL.NUM_JOINTS = 14
+    cfg.DATASET.DATASET = "crowdpose"
+    cfg.DATASET.NUM_JOINTS_HALF_BODY = 8
+    return cfg

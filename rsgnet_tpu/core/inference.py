@@ -1,0 +1,82 @@
+"""Batched inference pipeline: preprocess -> model -> flip-test -> decode.
+
+The benchmark-critical path (SURVEY.md §3.2): everything between raw crops
+and image-space keypoints is ONE jitted function per config, including the
+flip-test average (reference ``validate`` loop body) and the sub-pixel decode.
+
+``make_inference_fn(cfg, model)`` returns ``fn(variables, images, centers,
+scales) -> (preds, maxvals)``:
+- images: (N, H, W, 3) already-cropped, normalized model inputs (NHWC);
+- flip-test runs the model on the x-mirrored batch, un-flips with the L/R
+  channel permutation + SHIFT_HEATMAP, and averages (reference §3.2);
+- decode: DARK or quarter-offset per TEST.DECODE / TEST.POST_PROCESS;
+- preds are original-image coordinates via the inverse affine.
+
+``make_e2e_fn`` additionally fuses the preprocessing warp (raw padded images
++ boxes -> crops) on device, i.e. reference §3.5 end-to-end in one XLA
+program.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from rsgnet_tpu.config.defaults import Config
+from rsgnet_tpu.data.skeletons import get_spec
+from rsgnet_tpu.ops.affine import get_affine_transform_jax
+from rsgnet_tpu.ops.decode import get_final_preds_jax
+from rsgnet_tpu.ops.flip import flip_back_jax
+from rsgnet_tpu.ops.warp import crop_and_normalize
+
+
+def heatmaps_with_flip_test(apply_fn, variables, images, cfg: Config, perm):
+    """Model forward (+ optional flip-test average). images: (N, H, W, 3)."""
+    output = apply_fn(variables, images)
+    if cfg.TEST.FLIP_TEST:
+        flipped = apply_fn(variables, images[:, :, ::-1, :])
+        flipped = flip_back_jax(flipped, perm, shift=cfg.TEST.SHIFT_HEATMAP)
+        output = (output + flipped) * 0.5
+    return output
+
+
+def make_inference_fn(cfg: Config, model, jit=True):
+    """Crops -> image-space keypoints, honoring TEST.* config."""
+    spec = get_spec(cfg.DATASET.DATASET)
+    perm = jnp.asarray(spec.flip_perm)
+    use_dark = cfg.TEST.DECODE.lower() == "dark"
+
+    def fn(variables, images, centers, scales):
+        apply_fn = lambda v, x: model.apply(v, x, train=False)
+        output = heatmaps_with_flip_test(apply_fn, variables, images, cfg, perm)
+        preds, maxvals = get_final_preds_jax(
+            output, centers, scales,
+            post_process=cfg.TEST.POST_PROCESS,
+            use_dark=use_dark, blur_kernel=cfg.TEST.BLUR_KERNEL)
+        return preds, maxvals
+
+    return jax.jit(fn) if jit else fn
+
+
+def make_e2e_fn(cfg: Config, model, src_size, jit=True):
+    """Raw padded images + center/scale -> keypoints; warp fused on device.
+
+    src_size: static (H, W) of the padded source images.
+    """
+    spec = get_spec(cfg.DATASET.DATASET)
+    perm = jnp.asarray(spec.flip_perm)
+    use_dark = cfg.TEST.DECODE.lower() == "dark"
+    image_size = tuple(cfg.MODEL.IMAGE_SIZE)       # (w, h)
+
+    def fn(variables, raw_images, centers, scales):
+        rot = jnp.zeros(centers.shape[0], jnp.float32)
+        trans = get_affine_transform_jax(centers, scales, rot, image_size)
+        inputs = crop_and_normalize(raw_images, trans, image_size)
+        apply_fn = lambda v, x: model.apply(v, x, train=False)
+        output = heatmaps_with_flip_test(apply_fn, variables, inputs, cfg, perm)
+        preds, maxvals = get_final_preds_jax(
+            output, centers, scales,
+            post_process=cfg.TEST.POST_PROCESS,
+            use_dark=use_dark, blur_kernel=cfg.TEST.BLUR_KERNEL)
+        return preds, maxvals
+
+    return jax.jit(fn) if jit else fn

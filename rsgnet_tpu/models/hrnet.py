@@ -1,0 +1,232 @@
+"""HRNet backbone in flax (NHWC) — topology-as-config (SURVEY.md §2.7, §3.3).
+
+TPU-first redesign of the reference ``lib/models/pose_hrnet.py`` contract:
+
+- NHWC layout throughout (TPU conv-native; the reference is NCHW).
+- Params live in fp32; compute dtype is configurable (bf16 by default via
+  ``Config.DTYPE``) so the convs hit the MXU at full rate while BatchNorm
+  statistics stay fp32.
+- Upsampling in the exchange/fusion units is nearest-neighbor via
+  ``jnp.repeat`` (bit-exact for integer factors, fuses into the adjacent
+  elementwise sum under XLA).
+- The module graph is static Python built from the STAGE2/3/4 config dicts —
+  same schema as the reference YAMLs, so W32/W48 are pure config.
+
+Structure (reference §3.3): stem (two stride-2 3x3 convs -> 64ch) ->
+layer1 (4 x Bottleneck -> 256ch) -> transition1 -> stage2 (parallel branches
+{W, 2W}) -> transition2 -> stage3 {W, 2W, 4W} -> transition3 -> stage4
+{W, 2W, 4W, 8W}, multi_scale_output=False (only the highest-res branch
+leaves stage4) -> final 1x1 conv W -> K heatmaps.
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from rsgnet_tpu.config.defaults import Config, StageConfig
+
+BN_MOMENTUM = 0.9   # flax EMA momentum == 1 - torch momentum (0.1)
+
+
+class ConvBN(nn.Module):
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    relu: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = (self.kernel - 1) // 2
+        x = nn.Conv(self.features, (self.kernel, self.kernel),
+                    strides=(self.stride, self.stride),
+                    padding=[(pad, pad), (pad, pad)], use_bias=False,
+                    dtype=self.dtype, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         epsilon=1e-5, dtype=jnp.float32, name="bn")(x)
+        if self.relu:
+            x = nn.relu(x)
+        return x
+
+
+class BasicBlock(nn.Module):
+    """conv3x3-bn-relu-conv3x3-bn + residual (expansion 1)."""
+    features: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+    expansion = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        residual = x
+        out = ConvBN(self.features, 3, self.stride, dtype=self.dtype,
+                     name="cb1")(x, train)
+        out = ConvBN(self.features, 3, 1, relu=False, dtype=self.dtype,
+                     name="cb2")(out, train)
+        if residual.shape[-1] != self.features or self.stride != 1:
+            residual = ConvBN(self.features, 1, self.stride, relu=False,
+                              dtype=self.dtype, name="downsample")(x, train)
+        return nn.relu(out + residual)
+
+
+class Bottleneck(nn.Module):
+    """1x1 reduce -> 3x3 -> 1x1 expand(x4) + residual (expansion 4)."""
+    features: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+    expansion = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        out_ch = self.features * self.expansion
+        residual = x
+        out = ConvBN(self.features, 1, 1, dtype=self.dtype, name="cb1")(x, train)
+        out = ConvBN(self.features, 3, self.stride, dtype=self.dtype,
+                     name="cb2")(out, train)
+        out = ConvBN(out_ch, 1, 1, relu=False, dtype=self.dtype,
+                     name="cb3")(out, train)
+        if residual.shape[-1] != out_ch or self.stride != 1:
+            residual = ConvBN(out_ch, 1, self.stride, relu=False,
+                              dtype=self.dtype, name="downsample")(x, train)
+        return nn.relu(out + residual)
+
+
+BLOCKS = {"BASIC": BasicBlock, "BOTTLENECK": Bottleneck}
+
+
+def _upsample_nearest(x, factor: int):
+    x = jnp.repeat(x, factor, axis=1)
+    return jnp.repeat(x, factor, axis=2)
+
+
+class HighResolutionModule(nn.Module):
+    """Parallel branches of blocks + exchange-fusion units (reference §3.3).
+
+    Fusion: output branch i receives sum over input branches j of
+      j == i: identity
+      j >  i: 1x1 conv + BN, then nearest-upsample by 2^(j-i)
+      j <  i: chain of stride-2 3x3 conv+BN (ReLU on all but the last),
+    then ReLU on the sum.
+    """
+    num_branches: int
+    block: str
+    num_blocks: Sequence[int]
+    num_channels: Sequence[int]     # raw config channels; blocks expand them
+    multi_scale_output: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        blk = BLOCKS[self.block]
+        exp = blk.expansion
+        out_ch = [c * exp for c in self.num_channels]   # reference num_inchannels
+        outs = []
+        for i in range(self.num_branches):
+            x = xs[i]
+            for b in range(self.num_blocks[i]):
+                x = blk(self.num_channels[i], dtype=self.dtype,
+                        name=f"branch{i}_block{b}")(x, train)
+            outs.append(x)
+
+        if self.num_branches == 1:
+            return outs
+
+        num_out = self.num_branches if self.multi_scale_output else 1
+        fused = []
+        for i in range(num_out):
+            acc = None
+            for j in range(self.num_branches):
+                if j == i:
+                    y = outs[j]
+                elif j > i:
+                    y = ConvBN(out_ch[i], 1, 1, relu=False,
+                               dtype=self.dtype,
+                               name=f"fuse{i}_{j}")(outs[j], train)
+                    y = _upsample_nearest(y, 2 ** (j - i))
+                else:  # j < i: downsample chain
+                    y = outs[j]
+                    for k in range(i - j):
+                        last = k == i - j - 1
+                        ch = out_ch[i] if last else out_ch[j]
+                        y = ConvBN(ch, 3, 2, relu=not last, dtype=self.dtype,
+                                   name=f"fuse{i}_{j}_down{k}")(y, train)
+                acc = y if acc is None else acc + y
+            fused.append(nn.relu(acc))
+        return fused
+
+
+class PoseHighResolutionNet(nn.Module):
+    """The full backbone + final heatmap head (reference `get_pose_net`)."""
+    cfg: Config
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16 if self.cfg.DTYPE == "bfloat16" else jnp.float32
+
+    def _stage(self, scfg: StageConfig, xs, train, name, multi_scale_output=True):
+        for m in range(scfg.NUM_MODULES):
+            mso = multi_scale_output or m < scfg.NUM_MODULES - 1
+            xs = HighResolutionModule(
+                num_branches=scfg.NUM_BRANCHES, block=scfg.BLOCK,
+                num_blocks=scfg.NUM_BLOCKS, num_channels=scfg.NUM_CHANNELS,
+                multi_scale_output=mso, dtype=self.dtype,
+                name=f"{name}_module{m}")(xs, train)
+        return xs
+
+    def _transition(self, prev_channels, new_channels, xs, train, name):
+        outs = []
+        for i, ch in enumerate(new_channels):
+            if i < len(prev_channels):
+                if prev_channels[i] != ch:
+                    outs.append(ConvBN(ch, 3, 1, dtype=self.dtype,
+                                       name=f"{name}_{i}")(xs[i], train))
+                else:
+                    outs.append(xs[i])
+            else:
+                # new (coarser) branch from the last existing one
+                y = xs[-1]
+                for k in range(i + 1 - len(prev_channels)):
+                    y = ConvBN(ch, 3, 2, dtype=self.dtype,
+                               name=f"{name}_{i}_down{k}")(y, train)
+                outs.append(y)
+        return outs
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, return_features: bool = False):
+        cfg = self.cfg
+        extra = cfg.MODEL.EXTRA
+        x = x.astype(self.dtype)
+
+        # stem
+        x = ConvBN(64, 3, 2, dtype=self.dtype, name="stem1")(x, train)
+        x = ConvBN(64, 3, 2, dtype=self.dtype, name="stem2")(x, train)
+        # layer1: 4 x Bottleneck(64) -> 256ch
+        for b in range(4):
+            x = Bottleneck(64, dtype=self.dtype, name=f"layer1_{b}")(x, train)
+
+        s2 = extra.STAGE2
+        c2 = [c * BLOCKS[s2.BLOCK].expansion for c in s2.NUM_CHANNELS]
+        xs = self._transition([256], c2, [x], train, "transition1")
+        xs = self._stage(s2, xs, train, "stage2")
+
+        s3 = extra.STAGE3
+        c3 = [c * BLOCKS[s3.BLOCK].expansion for c in s3.NUM_CHANNELS]
+        xs = self._transition(c2, c3, xs, train, "transition2")
+        xs = self._stage(s3, xs, train, "stage3")
+
+        s4 = extra.STAGE4
+        c4 = [c * BLOCKS[s4.BLOCK].expansion for c in s4.NUM_CHANNELS]
+        xs = self._transition(c3, c4, xs, train, "transition3")
+        xs = self._stage(s4, xs, train, "stage4", multi_scale_output=False)
+
+        feats = xs[0].astype(jnp.float32)
+        k = extra.FINAL_CONV_KERNEL
+        pad = 1 if k == 3 else 0
+        heatmaps = nn.Conv(cfg.MODEL.NUM_JOINTS, (k, k),
+                           padding=[(pad, pad), (pad, pad)],
+                           dtype=jnp.float32, name="final_layer")(feats)
+        if return_features:
+            return heatmaps, feats
+        return heatmaps
