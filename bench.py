@@ -1,0 +1,71 @@
+"""Benchmark harness — COCO val top-down inference images/sec/chip @ 256x192.
+
+Measures the benchmark-critical path from SURVEY.md §3.2 / BASELINE.json:2 on
+the flagship model (RSGNet-W32: HRNet backbone + relation/skeleton-graph
+head): batched crops -> model forward -> flip-test average (FLIP_TEST=true,
+the reference eval protocol) -> sub-pixel decode -> image-space coordinates,
+all one jitted XLA program, bf16 conv compute.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+``vs_baseline`` normalizes by the reference stack's A100 throughput on the
+same protocol. No published figure exists (BASELINE.md:23 — the reference
+repo publishes no speed numbers and the mount is empty), so the denominator
+is an estimate, documented here and held FIXED across rounds so the series
+is comparable: PyTorch fp32 DataParallel validate loop (flip-test on,
+batch 32/GPU) for HRNet-W32 @ 256x192 on one A100 ~= 800 images/sec.
+The driver target is >=2x A100, i.e. vs_baseline >= 2.0.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+A100_REF_IMAGES_PER_SEC = 800.0   # estimated reference A100 eval throughput
+BATCH = 128
+WARMUP = 3
+ITERS = 10
+
+
+def main():
+    from rsgnet_tpu.config.defaults import rsgnet_w32_256x192
+    from rsgnet_tpu.core.inference import make_inference_fn
+    from rsgnet_tpu.models import get_pose_net
+
+    cfg = rsgnet_w32_256x192()
+    model = get_pose_net(cfg)
+    h, w = cfg.MODEL.IMAGE_SIZE[1], cfg.MODEL.IMAGE_SIZE[0]
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.uniform(-2, 2, (BATCH, h, w, 3)), jnp.float32)
+    centers = jnp.tile(jnp.asarray([[320.0, 240.0]], jnp.float32), (BATCH, 1))
+    scales = jnp.tile(jnp.asarray([[1.2, 1.6]], jnp.float32), (BATCH, 1))
+
+    variables = model.init(jax.random.PRNGKey(0), images[:1], train=False)
+    infer = make_inference_fn(cfg, model)
+
+    for _ in range(WARMUP):
+        preds, maxvals = infer(variables, images, centers, scales)
+    jax.block_until_ready((preds, maxvals))
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        preds, maxvals = infer(variables, images, centers, scales)
+    jax.block_until_ready((preds, maxvals))
+    dt = time.perf_counter() - t0
+
+    ips = BATCH * ITERS / dt
+    print(json.dumps({
+        "metric": "coco_val_topdown_inference_images_per_sec_per_chip",
+        "value": round(ips, 2),
+        "unit": "images/sec/chip (256x192, flip-test on, decode included)",
+        "vs_baseline": round(ips / A100_REF_IMAGES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -227,6 +227,29 @@ def rsgnet_w32_256x192() -> Config:
     return cfg
 
 
+def tiny_rsgnet() -> Config:
+    """Miniature RSGNet topology for compile-speed-bound smoke/dryrun paths.
+
+    Same module graph as the flagship (all stages, transitions, graph head),
+    shrunk channels/blocks and a 64x48 input so the full train step compiles
+    in seconds on the CPU backend.
+    """
+    cfg = Config()
+    cfg.MODEL.NAME = "pose_rsgnet"
+    cfg.MODEL.RSG.ENABLED = True
+    cfg.MODEL.RSG.NODE_CHANNELS = 8
+    cfg.MODEL.RSG.RELATION_CHANNELS = 8
+    cfg.MODEL.IMAGE_SIZE = (64, 96)     # divisible by 32 (1/32 branch)
+    cfg.MODEL.HEATMAP_SIZE = (16, 24)
+    cfg.MODEL.EXTRA = ModelExtra(
+        STAGE2=StageConfig(1, 2, (1, 1), (8, 16)),
+        STAGE3=StageConfig(1, 3, (1, 1, 1), (8, 16, 32)),
+        STAGE4=StageConfig(1, 4, (1, 1, 1, 1), (8, 16, 32, 64)),
+    )
+    cfg.DTYPE = "float32"
+    return cfg
+
+
 def crowdpose_rsgnet_w32() -> Config:
     cfg = rsgnet_w32_256x192()
     cfg.MODEL.NUM_JOINTS = 14
