@@ -1,0 +1,66 @@
+"""Validation loop: batched inference over a dataset -> keypoint AP.
+
+The reference ``core.function.validate`` (SURVEY.md §3.2): per batch, model
+forward + flip-test average + decode, accumulate ``all_preds``/``all_boxes``,
+then ``dataset.evaluate``. Here the whole per-batch device path (fused warp
+from the padded source canvas -> backbone -> flip-test -> sub-pixel decode ->
+inverse affine) is ONE jitted function (``make_e2e_fn``), the host loop only
+feeds batches (double-buffered prefetch) and collects results.
+"""
+from __future__ import annotations
+
+import time
+
+import jax
+import numpy as np
+
+from rsgnet_tpu.config.defaults import Config
+from rsgnet_tpu.core.inference import make_e2e_fn
+from rsgnet_tpu.data.loader import BatchLoader, device_prefetch
+
+
+def validate(cfg: Config, dataset, model, variables,
+             batch_size: int | None = None, output_dir: str | None = None,
+             num_workers: int = 8, logger=None):
+    """Returns (name_value OrderedDict, AP). Mirrors reference validate()."""
+    batch_size = batch_size or cfg.TEST.BATCH_SIZE_PER_GPU
+    loader = BatchLoader(dataset, batch_size, shuffle=False,
+                         num_workers=num_workers, pad_last=True)
+    infer = make_e2e_fn(cfg, model, dataset.src_size)
+
+    n = len(dataset)
+    k = dataset.num_joints
+    all_preds = np.zeros((n, k, 3), np.float32)
+    all_boxes = np.zeros((n, 6), np.float32)
+    image_ids = np.zeros((n,), np.int64)
+    seen = 0
+    t0 = time.perf_counter()
+    for batch in device_prefetch(iter(loader)):
+        nv = int(batch["num_valid"])
+        preds, maxvals = infer(variables, batch["image"].astype(np.float32),
+                               batch["center"], batch["scale"])
+        preds = np.asarray(preds)[:nv]
+        maxvals = np.asarray(maxvals)[:nv]
+        c = np.asarray(batch["center"])[:nv]
+        s = np.asarray(batch["scale"])[:nv]
+        score = np.asarray(batch["score"])[:nv]
+        sl = slice(seen, seen + nv)
+        all_preds[sl, :, :2] = preds
+        all_preds[sl, :, 2:3] = maxvals
+        all_boxes[sl, 0:2] = c
+        all_boxes[sl, 2:4] = s
+        all_boxes[sl, 4] = np.prod(s * 200.0, axis=1)
+        all_boxes[sl, 5] = score
+        image_ids[sl] = np.asarray(batch["image_id"])[:nv]
+        seen += nv
+    dt = time.perf_counter() - t0
+    if logger:
+        logger.info("validate: %d instances in %.1fs (%.1f img/s)",
+                    seen, dt, seen / max(dt, 1e-9))
+    assert seen == n, (seen, n)
+    name_value, ap = dataset.evaluate(all_preds, all_boxes, image_ids,
+                                      output_dir=output_dir)
+    if logger:
+        logger.info("| %s |", " | ".join(f"{kk}: {v:.4f}"
+                                         for kk, v in name_value.items()))
+    return name_value, ap

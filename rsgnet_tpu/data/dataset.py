@@ -1,0 +1,100 @@
+"""Top-down keypoint dataset base (reference ``lib/dataset/JointsDataset.py``,
+SURVEY.md §2.9 — redesigned for the fused on-device pipeline).
+
+The reference's ``__getitem__`` does all augmentation + warping + target
+generation per sample on host CPU. Here the host side only *loads* — decode
+the image, pad it to a static source canvas, and emit the raw geometry — and
+every compute step (random affine/flip/half-body, warp, normalize, Gaussian
+targets) runs fused on device (``rsgnet_tpu.data.augment``), per
+BASELINE.json:5 "fused on-device to feed the model at line rate".
+
+A record is one person instance:
+  image_path, image_id, center (2,), scale (2,), joints (K, 3),
+  joints_vis (K, 3), score (detector confidence; 1 for gt boxes).
+
+``load_sample`` decodes + pads to ``src_size`` and shifts geometry by the
+(0,0) pad origin (top-left padding keeps coordinates unchanged). Images
+larger than the canvas are downscaled by an integer-free uniform factor with
+the geometry scaled to match (rare; COCO max side is 640).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from rsgnet_tpu.config.defaults import Config
+from rsgnet_tpu.data.skeletons import KeypointSpec
+from rsgnet_tpu.utils.imageio import read_image
+
+
+class TopDownDataset:
+    """Base class: subclasses fill ``self.db`` (list of record dicts)."""
+
+    def __init__(self, cfg: Config, root: str, image_set: str,
+                 is_train: bool, spec: KeypointSpec):
+        self.cfg = cfg
+        self.root = root
+        self.image_set = image_set
+        self.is_train = is_train
+        self.spec = spec
+        self.num_joints = spec.num_joints
+        self.aspect_ratio = cfg.aspect_ratio
+        self.color_rgb = cfg.DATASET.COLOR_RGB
+        self.db: List[dict] = []
+        # static source canvas for the on-device warp (H, W)
+        self.src_size: Tuple[int, int] = (640, 640)
+
+    def __len__(self):
+        return len(self.db)
+
+    # -- host-side loading --------------------------------------------------
+
+    def load_sample(self, idx: int) -> Dict[str, np.ndarray]:
+        rec = self.db[idx]
+        img = read_image(rec["image_path"], color_rgb=self.color_rgb)
+        h, w = img.shape[:2]
+        sh, sw = self.src_size
+        center = rec["center"].astype(np.float32).copy()
+        scale = rec["scale"].astype(np.float32).copy()
+        joints = rec["joints"].astype(np.float32).copy()
+        factor = 1.0
+        if h > sh or w > sw:
+            factor = min(sh / h, sw / w)
+            nh, nw = int(h * factor), int(w * factor)
+            img = _resize(img, nw, nh)
+            center *= factor
+            scale *= factor
+            joints[:, :2] *= factor
+            h, w = nh, nw
+        canvas = np.zeros((sh, sw, 3), np.uint8)
+        canvas[:h, :w] = img
+        return {
+            "image": canvas,
+            "joints": joints[:, :2],
+            "joints_vis": rec["joints_vis"][:, 0].astype(np.float32),
+            "center": center,
+            "scale": scale,
+            "score": np.float32(rec.get("score", 1.0)),
+            "image_id": np.int64(rec["image_id"]),
+        }
+
+    def collate(self, indices) -> Dict[str, np.ndarray]:
+        samples = [self.load_sample(i) for i in indices]
+        return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
+    # -- evaluation contract ------------------------------------------------
+
+    def evaluate(self, preds, all_boxes, image_ids, output_dir=None):
+        """preds (N, K, 3) image-space keypoints+score; all_boxes (N, 6)
+        [center x, y, scale x, y, area, score]. Subclass implements."""
+        raise NotImplementedError
+
+
+def _resize(img: np.ndarray, w: int, h: int) -> np.ndarray:
+    try:
+        import cv2
+        return cv2.resize(img, (w, h), interpolation=cv2.INTER_LINEAR)
+    except ImportError:
+        from PIL import Image
+        return np.asarray(Image.fromarray(img).resize((w, h), Image.BILINEAR))

@@ -1,0 +1,107 @@
+"""Host input pipeline: threaded decode/collate + device prefetch.
+
+Replaces the reference's ``torch.utils.data.DataLoader`` worker pool
+(SURVEY.md §3.1) with a thread-pool loader (image decode releases the GIL in
+cv2/PIL) and an explicit **double-buffered device prefetch**: the next batch
+is transferred to HBM while the current one computes, so the H2D copy rides
+under the step (BASELINE.json:5 "double-buffers HBM-resident batches").
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional
+
+import jax
+import numpy as np
+
+
+class BatchLoader:
+    """Yields collated host batches from a TopDownDataset."""
+
+    def __init__(self, dataset, batch_size: int, shuffle=False,
+                 drop_last=False, num_workers: int = 8, seed: int = 0,
+                 lookahead: int = 4, pad_last: bool = True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self.lookahead = lookahead
+        self.pad_last = pad_last
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _index_batches(self):
+        """List of (indices, num_real) — indices padded to batch_size by
+        repeating the last real index."""
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self.epoch)
+            rng.shuffle(idx)
+        batches = []
+        for i in range(0, len(idx), self.batch_size):
+            b = idx[i:i + self.batch_size]
+            real = len(b)
+            if real < self.batch_size:
+                if self.drop_last:
+                    continue
+                if self.pad_last:
+                    b = np.concatenate(
+                        [b, np.full(self.batch_size - real, b[-1])])
+            batches.append((b, real))
+        return batches
+
+    def __iter__(self) -> Iterator[dict]:
+        batches = self._index_batches()
+        self.epoch += 1
+        window = self.lookahead + self.num_workers   # bounded decode-ahead
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            pending = []
+            for b, _ in batches[:window]:
+                pending.append(pool.submit(self.dataset.collate, b))
+            for i, (b, real) in enumerate(batches):
+                batch = pending[i].result()
+                nxt = i + window
+                if nxt < len(batches):
+                    pending.append(
+                        pool.submit(self.dataset.collate, batches[nxt][0]))
+                batch["num_valid"] = np.int32(real)
+                pending[i] = None            # release decoded batch memory
+                yield batch
+
+
+def device_prefetch(iterator, sharding=None, size: int = 2):
+    """Move batches to device ``size`` steps ahead of consumption."""
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    sentinel = object()
+
+    def producer():
+        try:
+            for batch in iterator:
+                if sharding is not None:
+                    batch = {k: (jax.device_put(v, sharding)
+                                 if isinstance(v, np.ndarray) else v)
+                             for k, v in batch.items()}
+                else:
+                    batch = {k: (jax.device_put(v)
+                                 if isinstance(v, np.ndarray) else v)
+                             for k, v in batch.items()}
+                q.put(batch)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        yield item

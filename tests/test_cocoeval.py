@@ -1,0 +1,149 @@
+"""KeypointEval tests against hand-computed OKS and known-AP scenarios
+(SURVEY.md §4(2,4): the COCOeval reimplementation is subtle — tiny fixture +
+hand-computed cases)."""
+import numpy as np
+import pytest
+
+from rsgnet_tpu.data.skeletons import get_spec
+from rsgnet_tpu.eval import COCOAnnotations, KeypointEval
+from rsgnet_tpu.eval.cocoeval import CROWDPOSE_INDEX_RANGES
+from tests.fixtures.synthetic_coco import (make_dataset, make_person,
+                                           perfect_results)
+
+SIGMAS = get_spec("coco").sigmas
+
+
+def run_eval(dataset, results, **kw):
+    gt = COCOAnnotations(dataset=dataset)
+    dt = gt.load_results(results)
+    return KeypointEval(gt, dt, SIGMAS, **kw).summarize()
+
+
+def test_perfect_predictions_ap1():
+    ds = make_dataset()
+    stats = run_eval(ds, perfect_results(ds))
+    assert stats["AP"] == pytest.approx(1.0)
+    assert stats["AP .5"] == pytest.approx(1.0)
+    assert stats["AR"] == pytest.approx(1.0)
+
+
+def test_shifted_predictions_degrade():
+    ds = make_dataset()
+    res = perfect_results(ds)
+    aps = []
+    for shift in (0.0, 5.0, 30.0):
+        shifted = []
+        for r in res:
+            kp = list(r["keypoints"])
+            kp[0::3] = [x + shift for x in kp[0::3]]
+            shifted.append(dict(r, keypoints=kp))
+        aps.append(run_eval(ds, shifted)["AP"])
+    assert aps[0] == pytest.approx(1.0)
+    assert aps[0] > aps[1] > aps[2]
+
+
+def test_missing_detection_lowers_recall():
+    ds = make_dataset()
+    res = perfect_results(ds)[:-1]            # drop one person
+    stats = run_eval(ds, res)
+    assert stats["AR"] < 1.0
+    assert stats["AP"] < 1.0
+
+
+def test_false_positive_lowers_ap_not_recall():
+    ds = make_dataset()
+    res = perfect_results(ds)
+    fp = dict(res[0])
+    kp = list(fp["keypoints"])
+    kp[0::3] = [x + 400 for x in kp[0::3]]     # far from any gt
+    res.append(dict(fp, keypoints=kp, score=0.99))
+    stats = run_eval(ds, res)
+    assert stats["AR"] == pytest.approx(1.0)
+    assert stats["AP"] < 1.0
+
+
+def test_crowd_and_zero_kp_gts_ignored():
+    """Crowd/0-kp gts must not create false negatives."""
+    ds = make_dataset()
+    n_real = sum(1 for a in ds["annotations"]
+                 if not a["iscrowd"] and a["num_keypoints"] > 0)
+    res = perfect_results(ds)
+    assert len(res) == n_real
+    stats = run_eval(ds, res)
+    assert stats["AP"] == pytest.approx(1.0)
+
+
+def test_single_pair_oks_matches_hand_formula():
+    """One gt/dt pair, known offset: AP@t flips where hand-OKS crosses t."""
+    person = make_person(1, 1, 200, 200, 100, 200)
+    ds = {"images": [{"id": 1, "width": 640, "height": 480,
+                      "file_name": "x.jpg"}],
+          "annotations": [person],
+          "categories": [{"id": 1, "name": "person"}]}
+    kp = np.asarray(person["keypoints"], np.float64).reshape(-1, 3)
+    off = 6.0
+    dt_kp = kp.copy()
+    dt_kp[:, 0] += off
+    # hand OKS
+    vars_ = (SIGMAS.astype(np.float64) * 2) ** 2
+    e = (off ** 2) / vars_ / (person["area"] + np.spacing(1)) / 2
+    oks = float(np.mean(np.exp(-e)))
+    res = [{"image_id": 1, "category_id": 1,
+            "keypoints": [float(v) for v in dt_kp.reshape(-1)], "score": 0.9}]
+    for t in (0.5, 0.75, 0.95):
+        stats = run_eval(ds, res, iou_thrs=[t])
+        expect = 1.0 if oks >= t else 0.0
+        assert stats["AP"] == pytest.approx(expect), (t, oks)
+
+
+def test_area_range_split():
+    """Medium person counts in APM only, large people in APL only."""
+    ds = make_dataset()
+    stats = run_eval(ds, perfect_results(ds))
+    assert stats["AP (M)"] == pytest.approx(1.0)
+    assert stats["AP (L)"] == pytest.approx(1.0)
+    med = [a for a in ds["annotations"]
+           if not a["iscrowd"] and a["num_keypoints"]
+           and 32 ** 2 <= a["area"] < 96 ** 2]
+    assert len(med) == 1                      # fixture sanity
+
+
+def test_score_ordering_matters():
+    """A high-scored far-off dt steals precision at low recall."""
+    ds = make_dataset()
+    res = perfect_results(ds)
+    for r in res:
+        r["score"] = 0.5
+    bad = dict(res[0])
+    kp = list(bad["keypoints"])
+    kp[0::3] = [x + 300 for x in kp[0::3]]
+    res.append(dict(bad, keypoints=kp, score=0.99))
+    stats = run_eval(ds, res)
+    assert 0.5 < stats["AP"] < 1.0
+
+
+def test_crowdpose_index_ranges():
+    ds = make_dataset(crowd_index=True)
+    stats = run_eval(ds, perfect_results(ds))
+    gt = COCOAnnotations(dataset=ds)
+    dt = gt.load_results(perfect_results(ds))
+    stats = KeypointEval(gt, dt, SIGMAS).summarize(
+        crowd_index_ranges=CROWDPOSE_INDEX_RANGES)
+    assert stats["AP (easy)"] == pytest.approx(1.0)
+    assert stats["AP (medium)"] == pytest.approx(1.0)
+    assert stats["AP (hard)"] == pytest.approx(1.0)
+
+
+def test_maxdets_cap():
+    """Detections beyond maxDets are dropped (worst-scored first)."""
+    ds = make_dataset()
+    res = perfect_results(ds)
+    clutter = []
+    for i in range(25):
+        c = dict(res[0])
+        kp = list(c["keypoints"])
+        kp[0::3] = [x + 500 + i for x in kp[0::3]]
+        clutter.append(dict(c, keypoints=kp, score=0.01))
+    stats = run_eval(ds, res + clutter)
+    # perfect dets score higher -> survive the cap -> AP unaffected at AR end
+    assert stats["AR"] == pytest.approx(1.0)

@@ -1,0 +1,142 @@
+"""Dataset + loader + validate-loop tests on the synthetic COCO fixture."""
+import numpy as np
+import pytest
+
+from rsgnet_tpu.config.defaults import tiny_rsgnet
+from rsgnet_tpu.data import get_dataset
+from rsgnet_tpu.data.loader import BatchLoader, device_prefetch
+from tests.fixtures.synthetic_coco import make_dataset, write_fixture
+
+
+@pytest.fixture(scope="module")
+def fixture_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("coco_fixture")
+    ds = make_dataset()
+    write_fixture(str(root), ds)
+    return str(root)
+
+
+def make_cfg():
+    cfg = tiny_rsgnet()
+    cfg.DATASET.TEST_SET = "val"
+    cfg.MODEL.NUM_JOINTS = 17
+    return cfg
+
+
+def build(cfg, fixture_root, is_train=False):
+    return get_dataset(cfg, root=fixture_root, image_set="val",
+                       is_train=is_train)
+
+
+def test_gt_db_loading(fixture_root):
+    cfg = make_cfg()
+    ds = build(cfg, fixture_root)
+    # 6 annotations, minus 1 crowd = 5 instances (0-kpt kept in eval mode)
+    assert len(ds) == 5
+    rec = ds.db[0]
+    assert rec["joints"].shape == (17, 3)
+    # center/scale: aspect-ratio-fixed, padded 1.25x, pixel_std 200
+    assert rec["scale"].shape == (2,)
+    assert rec["scale"][0] / rec["scale"][1] == pytest.approx(
+        cfg.aspect_ratio, rel=1e-5)
+
+
+def test_train_db_skips_empty(fixture_root):
+    cfg = make_cfg()
+    ds = build(cfg, fixture_root, is_train=True)
+    assert len(ds) == 4          # also drops the zero-keypoint annotation
+
+
+def test_load_sample_and_loader(fixture_root):
+    cfg = make_cfg()
+    ds = build(cfg, fixture_root)
+    s = ds.load_sample(0)
+    assert s["image"].shape == (*ds.src_size, 3)
+    assert s["image"].dtype == np.uint8
+    loader = BatchLoader(ds, batch_size=4, pad_last=True)
+    batches = list(loader)
+    assert len(batches) == 2
+    assert batches[0]["num_valid"] == 4
+    assert batches[1]["num_valid"] == 1
+    assert batches[1]["image"].shape == (4, *ds.src_size, 3)
+
+
+def test_device_prefetch(fixture_root):
+    cfg = make_cfg()
+    ds = build(cfg, fixture_root)
+    loader = BatchLoader(ds, batch_size=2)
+    out = list(device_prefetch(iter(loader)))
+    assert len(out) == 3
+    assert hasattr(out[0]["image"], "devices")     # on device
+
+
+def test_evaluate_with_gt_preds_gives_ap1(fixture_root):
+    cfg = make_cfg()
+    ds = build(cfg, fixture_root)
+    n, k = len(ds), ds.num_joints
+    preds = np.zeros((n, k, 3), np.float32)
+    boxes = np.zeros((n, 6), np.float32)
+    ids = np.zeros((n,), np.int64)
+    for i, rec in enumerate(ds.db):
+        preds[i, :, :2] = rec["joints"][:, :2]
+        preds[i, :, 2] = rec["joints_vis"][:, 0]   # score 1 for visible
+        boxes[i, 0:2] = rec["center"]
+        boxes[i, 2:4] = rec["scale"]
+        boxes[i, 4] = np.prod(rec["scale"] * 200.0)
+        boxes[i, 5] = rec["score"]
+        ids[i] = rec["image_id"]
+    name_value, ap = ds.evaluate(preds, boxes, ids)
+    assert ap == pytest.approx(1.0)
+    assert name_value["AP .5"] == pytest.approx(1.0)
+
+
+def test_validate_end_to_end_runs(fixture_root):
+    """Full loop with an untrained tiny model: must run and return finite AP."""
+    import jax
+    from rsgnet_tpu.core.validate import validate
+    from rsgnet_tpu.models import get_pose_net
+
+    cfg = make_cfg()
+    ds = build(cfg, fixture_root)
+    model = get_pose_net(cfg)
+    h, w = cfg.MODEL.IMAGE_SIZE[1], cfg.MODEL.IMAGE_SIZE[0]
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, h, w, 3), np.float32), train=False)
+    name_value, ap = validate(cfg, ds, model, variables, batch_size=4)
+    assert np.isfinite(ap)
+    assert 0.0 <= name_value["AR"] <= 1.0 or name_value["AR"] == -1.0
+
+
+def test_crowdpose_dataset(tmp_path):
+    """CrowdPose layout + 14 joints + crowd-index AP splits."""
+    import json
+    import os
+    cfg = tiny_rsgnet()
+    cfg.MODEL.NUM_JOINTS = 14
+    cfg.DATASET.DATASET = "crowdpose"
+    ds_dict = make_dataset(num_joints=14, crowd_index=True)
+    root = str(tmp_path)
+    os.makedirs(os.path.join(root, "json"))
+    with open(os.path.join(root, "json", "crowdpose_test.json"), "w") as f:
+        json.dump(ds_dict, f)
+    from tests.fixtures.synthetic_coco import write_fixture
+    write_fixture(root, ds_dict)                  # writes images/ too
+    # move images up to the flat crowdpose layout (already flat: images/)
+    ds = get_dataset(cfg, root=root, image_set="test")
+    assert ds.num_joints == 14
+    n, k = len(ds), 14
+    preds = np.zeros((n, k, 3), np.float32)
+    boxes = np.zeros((n, 6), np.float32)
+    ids = np.zeros((n,), np.int64)
+    for i, rec in enumerate(ds.db):
+        preds[i, :, :2] = rec["joints"][:, :2]
+        preds[i, :, 2] = rec["joints_vis"][:, 0]
+        boxes[i, 0:2] = rec["center"]
+        boxes[i, 2:4] = rec["scale"]
+        boxes[i, 4] = np.prod(rec["scale"] * 200.0)
+        boxes[i, 5] = 1.0
+        ids[i] = rec["image_id"]
+    name_value, ap = ds.evaluate(preds, boxes, ids)
+    assert ap == pytest.approx(1.0)
+    assert name_value["AP (easy)"] == pytest.approx(1.0)
+    assert name_value["AP (hard)"] == pytest.approx(1.0)
