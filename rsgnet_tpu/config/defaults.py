@@ -190,6 +190,24 @@ def update_config(cfg: Config, yaml_dict: dict) -> Config:
     return _merge(cfg, yaml_dict)
 
 
+def opts_to_dict(opts) -> dict:
+    """argparse REMAINDER ``KEY VALUE`` pairs -> nested override dict
+    (the reference's ``update_config(cfg, args.opts)``)."""
+    import ast
+    out: dict = {}
+    for k, v in zip(opts[0::2], opts[1::2]):
+        node = out
+        parts = k.split(".")
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        try:
+            v = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            pass
+        node[parts[-1]] = v
+    return out
+
+
 def load_config(yaml_path: Optional[str] = None, overrides: Optional[dict] = None) -> Config:
     """Build a Config from defaults + experiment YAML + override dict."""
     cfg = Config()

@@ -1,0 +1,122 @@
+"""Epoch driver: train loop + periodic validation + checkpointing.
+
+The reference ``lib/core/function.py`` + ``tools/train.py`` orchestration
+(SURVEY.md §2.17, §3.1) rebuilt around the TPU execution model:
+
+- ONE jitted train step (on-device aug -> forward -> loss -> backward ->
+  update) sharded over the data axis of a 1-D mesh; gradients all-reduce over
+  ICI via the sharding annotations (BASELINE.json:11).
+- Host loop only feeds batches (threaded decode + device prefetch double
+  buffering) and reads metrics — metrics are fetched lazily so the device
+  pipeline stays ahead of the host.
+- AverageMeter logging every PRINT_FREQ, per-epoch validate, checkpoint +
+  best-by-AP (reference save_checkpoint contract).
+"""
+from __future__ import annotations
+
+import time
+
+import jax
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from rsgnet_tpu.config.defaults import Config
+from rsgnet_tpu.core.train import create_train_state, make_train_step
+from rsgnet_tpu.core.validate import validate
+from rsgnet_tpu.data.loader import BatchLoader, device_prefetch
+from rsgnet_tpu.data.skeletons import get_spec
+from rsgnet_tpu.parallel.mesh import make_mesh
+from rsgnet_tpu.utils.checkpoint import auto_resume, save_checkpoint
+from rsgnet_tpu.utils.logger import AverageMeter
+
+
+def train_one_epoch(step_fn, state, loader, rng, epoch, shard, logger=None,
+                    print_freq=100):
+    """Returns (state, mean_loss). Device ahead of host via prefetch."""
+    batch_time = AverageMeter()
+    losses = AverageMeter()
+    accs = AverageMeter()
+    end = time.perf_counter()
+    pending = None                    # lazily-read metrics (1-step delay)
+    n = 0
+    for i, batch in enumerate(device_prefetch(iter(loader), sharding=shard)):
+        batch.pop("num_valid", None)
+        batch.pop("image_id", None)
+        batch.pop("score", None)
+        rng, sub = jax.random.split(rng)
+        state, metrics = step_fn(state, batch, sub)
+        bs = batch["image"].shape[0]
+        n += bs
+        if pending is not None:
+            losses.update(float(pending["loss"]), bs)
+            accs.update(float(pending["acc"]), bs)
+        pending = metrics
+        batch_time.update(time.perf_counter() - end)
+        end = time.perf_counter()
+        if logger and i % print_freq == 0:
+            logger.info(
+                "Epoch [%d][%d/%d] time %.3fs (%.3f) loss %.5f (%.5f) "
+                "acc %.3f (%.3f) %.1f img/s",
+                epoch, i, len(loader), batch_time.val, batch_time.avg,
+                losses.val, losses.avg, accs.val, accs.avg,
+                bs / max(batch_time.avg, 1e-9))
+    if pending is not None:
+        losses.update(float(pending["loss"]))
+        accs.update(float(pending["acc"]))
+    return state, losses.avg
+
+
+def fit(cfg: Config, model, train_dataset, val_dataset=None,
+        output_dir: str = "output", logger=None, num_workers: int = 8,
+        mesh=None, max_epochs=None, eval_every: int = 1,
+        init_state=None):
+    """Full training run. Returns (state, best_perf)."""
+    spec = get_spec(cfg.DATASET.DATASET)
+    mesh = mesh or make_mesh(axis_name=cfg.MESH_DATA_AXIS)
+    n_dev = mesh.size
+    batch_size = cfg.TRAIN.BATCH_SIZE_PER_GPU * n_dev
+    loader = BatchLoader(train_dataset, batch_size, shuffle=cfg.TRAIN.SHUFFLE,
+                         drop_last=True, num_workers=num_workers,
+                         pad_last=False)
+    steps_per_epoch = max(1, len(loader))
+
+    state = init_state or create_train_state(
+        cfg, model, jax.random.PRNGKey(0), steps_per_epoch=steps_per_epoch)
+
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P(cfg.MESH_DATA_AXIS))
+    state = jax.device_put(state, repl)
+    step_fn = make_train_step(cfg, model, spec, jit=False)
+    batch_shardings = {"image": shard, "joints": shard, "joints_vis": shard,
+                       "center": shard, "scale": shard}
+    step_fn = jax.jit(step_fn,
+                      in_shardings=(repl, batch_shardings, repl),
+                      donate_argnums=(0,))
+
+    begin_epoch, best_perf = cfg.TRAIN.BEGIN_EPOCH, 0.0
+    if cfg.TRAIN.AUTO_RESUME:
+        state, begin_epoch, best_perf = auto_resume(output_dir, state)
+        if begin_epoch > 0 and logger:
+            logger.info("auto-resumed at epoch %d (best %.4f)",
+                        begin_epoch, best_perf)
+
+    end_epoch = min(cfg.TRAIN.END_EPOCH, max_epochs or cfg.TRAIN.END_EPOCH)
+    rng = jax.random.PRNGKey(begin_epoch + 1)
+    for epoch in range(begin_epoch, end_epoch):
+        rng, erng = jax.random.split(rng)
+        state, loss = train_one_epoch(step_fn, state, loader, erng, epoch,
+                                      shard, logger, cfg.PRINT_FREQ)
+        perf = 0.0
+        if val_dataset is not None and (epoch + 1) % eval_every == 0:
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+            _, perf = validate(cfg, val_dataset, model, variables,
+                               output_dir=output_dir, logger=logger,
+                               num_workers=num_workers)
+        is_best = perf >= best_perf
+        best_perf = max(best_perf, perf)
+        save_checkpoint(output_dir, state, epoch, perf, is_best)
+        if logger:
+            logger.info("epoch %d: loss %.5f perf %.4f best %.4f",
+                        epoch, loss, perf, best_perf)
+    return state, best_perf

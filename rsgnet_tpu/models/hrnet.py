@@ -185,10 +185,14 @@ class PoseHighResolutionNet(nn.Module):
                 else:
                     outs.append(xs[i])
             else:
-                # new (coarser) branch from the last existing one
+                # new (coarser) branch from the last existing one; only the
+                # final conv of the chain maps to the target channel count
+                # (reference transition-layer construction)
                 y = xs[-1]
-                for k in range(i + 1 - len(prev_channels)):
-                    y = ConvBN(ch, 3, 2, dtype=self.dtype,
+                steps = i + 1 - len(prev_channels)
+                for k in range(steps):
+                    out_ch = ch if k == steps - 1 else prev_channels[-1]
+                    y = ConvBN(out_ch, 3, 2, dtype=self.dtype,
                                name=f"{name}_{i}_down{k}")(y, train)
                 outs.append(y)
         return outs

@@ -1,0 +1,105 @@
+"""Checkpoint save/resume (reference ``save_checkpoint``/AUTO_RESUME,
+SURVEY.md §2.19/§5.4) on flax msgpack serialization.
+
+Field-compatible with the reference dict {epoch, state_dict, best_state_dict,
+perf, optimizer}: here {epoch, params, batch_stats, opt_state, perf}, written
+to ``checkpoint.msgpack`` each epoch with the best params additionally at
+``model_best.msgpack``. ``auto_resume`` restores epoch + optimizer state from
+``checkpoint.msgpack`` when present (reference TRAIN.AUTO_RESUME semantics).
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Tuple
+
+import numpy as np
+from flax import serialization
+
+CKPT_NAME = "checkpoint.msgpack"
+BEST_NAME = "model_best.msgpack"
+
+
+def _to_host(tree):
+    import jax
+    return jax.tree_util.tree_map(np.asarray, tree)
+
+
+def save_checkpoint(out_dir: str, state, epoch: int, perf: float,
+                    is_best: bool) -> str:
+    """state: core.train.TrainState. Returns the checkpoint path."""
+    os.makedirs(out_dir, exist_ok=True)
+    payload = {
+        "epoch": epoch,
+        "params": _to_host(state.params),
+        "batch_stats": _to_host(state.batch_stats),
+        # to_state_dict: optax states are (named)tuples msgpack can't encode
+        "opt_state": serialization.to_state_dict(_to_host(state.opt_state)),
+        "perf": float(perf),
+    }
+    path = os.path.join(out_dir, CKPT_NAME)
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(payload))
+    if is_best:
+        best = {"params": payload["params"],
+                "batch_stats": payload["batch_stats"],
+                "perf": float(perf), "epoch": epoch}
+        with open(os.path.join(out_dir, BEST_NAME), "wb") as f:
+            f.write(serialization.msgpack_serialize(best))
+    return path
+
+
+def load_checkpoint(path: str, state) -> Tuple[Any, int, float]:
+    """Restore ``state`` (template for structure) from ``path``.
+
+    Returns (state, begin_epoch, best_perf). Works for both full checkpoints
+    (with opt_state) and best-model files (params/batch_stats only).
+    """
+    with open(path, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    params = serialization.from_state_dict(state.params, raw["params"])
+    batch_stats = serialization.from_state_dict(state.batch_stats,
+                                                raw["batch_stats"])
+    kw = dict(params=params, batch_stats=batch_stats)
+    if "opt_state" in raw:
+        kw["opt_state"] = serialization.from_state_dict(state.opt_state,
+                                                        raw["opt_state"])
+    state = state.replace(**kw)
+    return state, int(raw.get("epoch", 0)), float(raw.get("perf", 0.0))
+
+
+def load_weights(cfg, model, model_file: str):
+    """Init variables, then load eval weights from a native ``.msgpack``
+    checkpoint or a reference torch ``.pth`` via the converter. Empty
+    ``model_file`` returns the random init (smoke mode)."""
+    import jax
+    h, w = cfg.MODEL.IMAGE_SIZE[1], cfg.MODEL.IMAGE_SIZE[0]
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, h, w, 3), np.float32), train=False)
+    if not model_file:
+        return variables
+    if model_file.endswith((".pth", ".pt", ".pth.tar")):
+        from rsgnet_tpu.utils.torch_convert import (convert_state_dict,
+                                                    load_torch_checkpoint)
+        sd = load_torch_checkpoint(model_file)
+        nest = "backbone" if cfg.MODEL.NAME == "pose_rsgnet" else None
+        params, stats = convert_state_dict(cfg, sd, nest_under=nest)
+        merged_p = dict(variables["params"])
+        merged_s = dict(variables["batch_stats"])
+        merged_p.update(params)
+        merged_s.update(stats)
+        return {"params": merged_p, "batch_stats": merged_s}
+    with open(model_file, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    params = serialization.from_state_dict(variables["params"], raw["params"])
+    stats = serialization.from_state_dict(variables["batch_stats"],
+                                          raw["batch_stats"])
+    return {"params": params, "batch_stats": stats}
+
+
+def auto_resume(out_dir: str, state):
+    """(state, begin_epoch, best_perf) — restored when checkpoint exists."""
+    path = os.path.join(out_dir, CKPT_NAME)
+    if os.path.exists(path):
+        state, epoch, perf = load_checkpoint(path, state)
+        return state, epoch + 1, perf
+    return state, 0, 0.0

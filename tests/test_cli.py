@@ -1,0 +1,93 @@
+"""CLI smoke tests: the tools/ entry points run end-to-end in a fresh
+interpreter on the CPU backend (SURVEY.md §2.1-2.3)."""
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+import yaml
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_tool(args, timeout=900):
+    env = dict(os.environ)
+    env["RSGNET_FORCE_PLATFORM"] = "cpu"
+    env["JAX_PLATFORMS"] = "cpu"
+    return subprocess.run([sys.executable] + args, cwd=REPO, env=env,
+                          capture_output=True, text=True, timeout=timeout)
+
+
+def write_tiny_yaml(path, root, extra=None):
+    """Experiment yaml with the tiny topology pointing at the fixture."""
+    d = {
+        "DATASET": {"DATASET": "coco", "ROOT": root, "TEST_SET": "val",
+                    "TRAIN_SET": "val"},
+        "MODEL": {
+            "NAME": "pose_rsgnet", "NUM_JOINTS": 17,
+            "IMAGE_SIZE": [64, 96], "HEATMAP_SIZE": [16, 24], "SIGMA": 2,
+            "RSG": {"ENABLED": True, "NODE_CHANNELS": 8,
+                    "RELATION_CHANNELS": 8},
+            "EXTRA": {
+                "STAGE2": {"NUM_MODULES": 1, "NUM_BRANCHES": 2,
+                           "BLOCK": "BASIC", "NUM_BLOCKS": [1, 1],
+                           "NUM_CHANNELS": [8, 16]},
+                "STAGE3": {"NUM_MODULES": 1, "NUM_BRANCHES": 3,
+                           "BLOCK": "BASIC", "NUM_BLOCKS": [1, 1, 1],
+                           "NUM_CHANNELS": [8, 16, 32]},
+                "STAGE4": {"NUM_MODULES": 1, "NUM_BRANCHES": 4,
+                           "BLOCK": "BASIC", "NUM_BLOCKS": [1, 1, 1, 1],
+                           "NUM_CHANNELS": [8, 16, 32, 64]},
+            },
+        },
+        "DTYPE": "float32",
+        "TRAIN": {"BATCH_SIZE_PER_GPU": 2, "END_EPOCH": 1},
+        "TEST": {"BATCH_SIZE_PER_GPU": 4, "FLIP_TEST": True,
+                 "USE_GT_BBOX": True},
+    }
+    if extra:
+        d.update(extra)
+    with open(path, "w") as f:
+        yaml.safe_dump(d, f)
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def fixture_root(tmp_path_factory):
+    from tests.fixtures.synthetic_coco import make_dataset, write_fixture
+    root = tmp_path_factory.mktemp("cli_fixture")
+    write_fixture(str(root), make_dataset())
+    return str(root)
+
+
+def test_infer_demo():
+    r = run_tool(["tools/infer.py", "--demo", "--tiny"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout[r.stdout.index("["):])
+    assert len(out) == 17
+    assert all("x" in j and "score" in j for j in out)
+
+
+def test_test_cli(fixture_root, tmp_path):
+    cfg = write_tiny_yaml(tmp_path / "tiny.yaml", fixture_root)
+    r = run_tool(["tools/test.py", "--cfg", cfg, "--workers", "2",
+                  "OUTPUT_DIR", str(tmp_path / "out"),
+                  "LOG_DIR", str(tmp_path / "log")])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "AP" in r.stdout + r.stderr
+
+
+def test_train_cli_smoke(fixture_root, tmp_path):
+    cfg = write_tiny_yaml(tmp_path / "tiny.yaml", fixture_root)
+    r = run_tool(["tools/train.py", "--cfg", cfg, "--workers", "2",
+                  "--max-epochs", "1",
+                  "OUTPUT_DIR", str(tmp_path / "out"),
+                  "LOG_DIR", str(tmp_path / "log"),
+                  "PRINT_FREQ", "1"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    combined = r.stdout + r.stderr
+    assert "done; best perf" in combined
+    # checkpoint written into the run dir
+    run_dirs = list((tmp_path / "out").rglob("checkpoint.msgpack"))
+    assert run_dirs, combined[-2000:]

@@ -1,0 +1,58 @@
+"""Config system tests: reference-style YAMLs must port 1:1 (SURVEY.md §5.6)."""
+import glob
+import os
+
+import pytest
+
+from rsgnet_tpu.config.defaults import Config, load_config, opts_to_dict
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+YAMLS = sorted(glob.glob(os.path.join(REPO, "experiments", "**", "*.yaml"),
+                         recursive=True))
+
+
+def test_yamls_exist():
+    assert len(YAMLS) >= 5
+
+
+@pytest.mark.parametrize("path", YAMLS, ids=[os.path.basename(p)[:-5]
+                                             for p in YAMLS])
+def test_yaml_loads(path):
+    cfg = load_config(path)
+    assert cfg.MODEL.NUM_JOINTS in (14, 17)
+    assert cfg.MODEL.IMAGE_SIZE[0] % 32 == 0
+    assert cfg.MODEL.HEATMAP_SIZE[0] * 4 == cfg.MODEL.IMAGE_SIZE[0]
+    assert cfg.MODEL.EXTRA.STAGE4.NUM_BRANCHES == 4
+    assert tuple(cfg.TRAIN.LR_STEP) == (170, 200)
+
+
+def test_w48_values():
+    path = [p for p in YAMLS if "w48" in p and "hrnet" in p][0]
+    cfg = load_config(path)
+    assert cfg.MODEL.SIGMA == 3
+    assert tuple(cfg.MODEL.IMAGE_SIZE) == (288, 384)
+    assert tuple(cfg.MODEL.EXTRA.STAGE2.NUM_CHANNELS) == (48, 96)
+    assert cfg.TEST.DECODE == "dark"
+
+
+def test_unknown_key_rejected(tmp_path):
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("MODEL:\n  NOT_A_KEY: 1\n")
+    with pytest.raises(KeyError):
+        load_config(str(bad))
+
+
+def test_opts_override():
+    cfg = load_config(YAMLS[0], overrides=opts_to_dict(
+        ["TRAIN.LR", "0.01", "MODEL.SIGMA", "3", "DATASET.ROOT", "/x"]))
+    assert cfg.TRAIN.LR == 0.01
+    assert cfg.MODEL.SIGMA == 3
+    assert cfg.DATASET.ROOT == "/x"
+
+
+def test_crowdpose_cfg():
+    path = [p for p in YAMLS if "crowdpose" in p][0]
+    cfg = load_config(path)
+    assert cfg.MODEL.NUM_JOINTS == 14
+    assert cfg.DATASET.DATASET == "crowdpose"
+    assert cfg.MODEL.RSG.ENABLED

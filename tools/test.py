@@ -1,0 +1,46 @@
+#!/usr/bin/env python
+"""Evaluation CLI (reference ``tools/test.py``, SURVEY.md §2.2).
+
+    python tools/test.py --cfg experiments/coco/rsgnet/w32_256x192.yaml \
+        TEST.MODEL_FILE output/.../model_best.msgpack DATASET.ROOT /data/coco
+
+Loads weights (native .msgpack checkpoints, or a reference .pth via the
+torch->flax converter), runs the jitted validate loop with flip-test, and
+prints the AP table.
+"""
+import argparse
+
+import _init_paths  # noqa: F401
+from rsgnet_tpu.config.defaults import load_config, opts_to_dict
+from rsgnet_tpu.core.validate import validate
+from rsgnet_tpu.data import get_dataset
+from rsgnet_tpu.models import get_pose_net
+from rsgnet_tpu.utils.checkpoint import load_weights
+from rsgnet_tpu.utils.logger import create_logger
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Evaluate keypoint network")
+    p.add_argument("--cfg", required=True)
+    p.add_argument("--workers", type=int, default=8)
+    p.add_argument("opts", nargs=argparse.REMAINDER)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    cfg = load_config(args.cfg, overrides=opts_to_dict(args.opts))
+    logger, output_dir, _ = create_logger(cfg, args.cfg, "valid")
+    model = get_pose_net(cfg)
+    variables = load_weights(cfg, model, cfg.TEST.MODEL_FILE)
+    dataset = get_dataset(cfg, is_train=False)
+    name_value, ap = validate(cfg, dataset, model, variables,
+                              output_dir=output_dir, logger=logger,
+                              num_workers=args.workers)
+    logger.info("AP: %.4f", ap)
+    for k, v in name_value.items():
+        logger.info("%-8s: %.4f", k, v)
+
+
+if __name__ == "__main__":
+    main()

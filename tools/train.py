@@ -1,0 +1,51 @@
+#!/usr/bin/env python
+"""Training CLI (reference ``tools/train.py``, SURVEY.md §2.1).
+
+    python tools/train.py --cfg experiments/coco/rsgnet/w32_256x192.yaml \
+        DATASET.ROOT /data/coco TRAIN.END_EPOCH 210
+
+Builds the model + datasets from the config, trains data-parallel over all
+local devices with on-device augmentation, validates each epoch, checkpoints
+best-by-AP, and auto-resumes from ``checkpoint.msgpack`` when present.
+"""
+import argparse
+
+import _init_paths  # noqa: F401
+from rsgnet_tpu.config.defaults import load_config, opts_to_dict
+from rsgnet_tpu.core.function import fit
+from rsgnet_tpu.data import get_dataset
+from rsgnet_tpu.models import get_pose_net
+from rsgnet_tpu.utils.logger import create_logger
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Train keypoint network")
+    p.add_argument("--cfg", required=True, help="experiment yaml")
+    p.add_argument("--dataDir", default="", help="override DATASET.ROOT")
+    p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--max-epochs", type=int, default=None,
+                   help="cap END_EPOCH (smoke runs)")
+    p.add_argument("opts", nargs=argparse.REMAINDER,
+                   help="KEY VALUE config override pairs")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    cfg = load_config(args.cfg, overrides=opts_to_dict(args.opts))
+    if args.dataDir:
+        cfg.DATASET.ROOT = args.dataDir
+    logger, output_dir, _ = create_logger(cfg, args.cfg, "train")
+    logger.info("config: %s", cfg)
+
+    model = get_pose_net(cfg)
+    train_ds = get_dataset(cfg, is_train=True)
+    val_ds = get_dataset(cfg, is_train=False)
+    state, best = fit(cfg, model, train_ds, val_ds, output_dir=output_dir,
+                      logger=logger, num_workers=args.workers,
+                      max_epochs=args.max_epochs)
+    logger.info("done; best perf %.4f", best)
+
+
+if __name__ == "__main__":
+    main()
