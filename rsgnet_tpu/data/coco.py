@@ -22,7 +22,8 @@ from rsgnet_tpu.data.dataset import TopDownDataset
 from rsgnet_tpu.data.skeletons import get_spec
 from rsgnet_tpu.eval import COCOAnnotations, KeypointEval
 from rsgnet_tpu.ops.affine import box_to_center_scale
-from rsgnet_tpu.ops.nms import oks_nms_np, soft_oks_nms_np
+from rsgnet_tpu.ops.nms_native import (oks_nms_cpp as oks_nms_np,
+                                       soft_oks_nms_cpp as soft_oks_nms_np)
 
 
 class COCODataset(TopDownDataset):

@@ -18,7 +18,8 @@ from rsgnet_tpu.config.defaults import Config
 from rsgnet_tpu.data.coco import COCODataset
 from rsgnet_tpu.eval import KeypointEval
 from rsgnet_tpu.eval.cocoeval import CROWDPOSE_INDEX_RANGES
-from rsgnet_tpu.ops.nms import oks_nms_np, soft_oks_nms_np
+from rsgnet_tpu.ops.nms_native import (oks_nms_cpp as oks_nms_np,
+                                       soft_oks_nms_cpp as soft_oks_nms_np)
 
 
 class CrowdPoseDataset(COCODataset):

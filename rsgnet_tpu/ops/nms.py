@@ -72,11 +72,13 @@ def soft_oks_nms_np(kpts_db, thresh, sigmas, in_vis_thre=None, max_dets=20):
     order = scores.argsort()[::-1]
     scores = scores[order]
     keep = np.zeros(max_dets, dtype=np.intp)
+    kept_scores = np.zeros(max_dets, dtype=np.float64)
     keep_cnt = 0
     while order.size > 0 and keep_cnt < max_dets:
         i = order[0]
         oks_ovr = oks_iou(kpts[i], kpts[order[1:]], areas[i], areas[order[1:]],
                           sigmas, in_vis_thre)
+        kept_scores[keep_cnt] = scores[0]       # decayed score at selection
         order = order[1:]
         scores = _rescore(oks_ovr, scores[1:], thresh)
         tmp = scores.argsort()[::-1]
@@ -84,7 +86,7 @@ def soft_oks_nms_np(kpts_db, thresh, sigmas, in_vis_thre=None, max_dets=20):
         scores = scores[tmp]
         keep[keep_cnt] = i
         keep_cnt += 1
-    return list(keep[:keep_cnt]), scores
+    return list(keep[:keep_cnt]), kept_scores[:keep_cnt]
 
 
 def _rescore(overlap, scores, thresh, type='gaussian'):
