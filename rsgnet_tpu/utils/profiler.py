@@ -1,0 +1,71 @@
+"""Tracing/profiling utilities (SURVEY.md §5.1-5.2).
+
+The reference has only AverageMeter timers + TensorBoard scalars; here:
+
+- ``device_timer``: wall-time a device computation correctly (fences with
+  ``jax.block_until_ready`` — dispatch is async, naive timing lies).
+- ``trace``: context manager around ``jax.profiler`` emitting a TensorBoard
+  trace directory for xprof.
+- ``enable_nan_checks``: dev-mode ``jax_debug_nans`` toggle (the rebuild's
+  answer to the reference's nonexistent sanitizer story).
+- ``ThroughputMeter``: images/sec with warmup discard, used by bench + train.
+"""
+from __future__ import annotations
+
+import contextlib
+import time
+
+import jax
+
+
+@contextlib.contextmanager
+def device_timer(result_holder: dict, key: str = "seconds"):
+    """``with device_timer(out): r = fn(x); out['result'] = r`` — the exit
+    fences on everything stored into the holder."""
+    t0 = time.perf_counter()
+    yield result_holder
+    jax.block_until_ready(
+        {k: v for k, v in result_holder.items() if k != key})
+    result_holder[key] = time.perf_counter() - t0
+
+
+@contextlib.contextmanager
+def trace(logdir: str):
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def enable_nan_checks(enable: bool = True):
+    jax.config.update("jax_debug_nans", enable)
+
+
+class ThroughputMeter:
+    """Images/sec over fenced step timings; first ``skip`` steps discarded
+    (compile + cache warmup)."""
+
+    def __init__(self, skip: int = 2):
+        self.skip = skip
+        self.steps = 0
+        self.images = 0
+        self.seconds = 0.0
+        self._t0 = None
+
+    def start(self):
+        self._t0 = time.perf_counter()
+
+    def stop(self, batch_size: int, fence=None):
+        if fence is not None:
+            jax.block_until_ready(fence)
+        dt = time.perf_counter() - self._t0
+        self.steps += 1
+        if self.steps > self.skip:
+            self.images += batch_size
+            self.seconds += dt
+        return dt
+
+    @property
+    def images_per_sec(self) -> float:
+        return self.images / self.seconds if self.seconds else 0.0
