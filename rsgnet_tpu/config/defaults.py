@@ -136,6 +136,16 @@ class TestConfig:
 
 
 @dataclass
+class CudnnConfig:
+    """Accepted-and-ignored: reference YAMLs carry a CUDNN section (cuDNN
+    autotune/determinism knobs with no TPU counterpart); keeping the keys
+    lets reference experiment files port 1:1."""
+    BENCHMARK: bool = True
+    DETERMINISTIC: bool = False
+    ENABLED: bool = True
+
+
+@dataclass
 class DebugConfig:
     DEBUG: bool = False
     SAVE_BATCH_IMAGES_GT: bool = False
@@ -155,6 +165,7 @@ class Config:
     AUTO_RESUME: bool = True
     PIN_MEMORY: bool = True
     RANK: int = 0
+    CUDNN: CudnnConfig = field(default_factory=CudnnConfig)
     MODEL: ModelConfig = field(default_factory=ModelConfig)
     LOSS: LossConfig = field(default_factory=LossConfig)
     DATASET: DatasetConfig = field(default_factory=DatasetConfig)
@@ -181,6 +192,11 @@ def _merge(obj: Any, d: dict, path=""):
         else:
             if isinstance(cur, tuple) and isinstance(v, (list, tuple)):
                 v = tuple(v)
+            elif isinstance(cur, tuple) and isinstance(v, str):
+                # reference YAMLs write tuples as '(0,1,2,3)' strings (yacs
+                # convention); parse them so those files port unchanged
+                v = tuple(int(t) if t.strip().isdigit() else t.strip()
+                          for t in v.strip("()").split(",") if t.strip())
             setattr(obj, k, v)
     return obj
 

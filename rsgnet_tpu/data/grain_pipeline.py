@@ -1,0 +1,53 @@
+"""grain-backed input pipeline — the production-grade alternative to the
+threaded BatchLoader (reference DataLoader worker-pool analogue, SURVEY.md
+§7(6): "input pipeline at line rate ... grain makes this tractable").
+
+Gives deterministic global shuffling, multi-epoch iteration, worker
+processes (decode parallelism beyond the GIL), and checkpointable iterators;
+emits the same batch dict the device pipeline consumes. Multi-host sharding
+slots in via ``shard_options`` when the framework ever runs multi-process.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import numpy as np
+
+
+class _SampleMap:
+    """Picklable callable: index record -> loaded sample dict (callables,
+    unlike closures, survive grain's multiprocess workers)."""
+
+    def __init__(self, dataset):
+        self.dataset = dataset
+
+    def __call__(self, idx: int) -> Dict[str, np.ndarray]:
+        return self.dataset.load_sample(int(idx))
+
+
+def make_grain_loader(dataset, batch_size: int, *, shuffle: bool = False,
+                      seed: int = 0, num_epochs: int | None = 1,
+                      worker_count: int = 0, drop_remainder: bool = True,
+                      read_buffer: int = 64) -> Any:
+    """An iterable of collated batch dicts over ``dataset`` (TopDownDataset).
+
+    worker_count=0 runs in-process (tests); >0 spawns grain worker processes.
+    """
+    import grain
+
+    ds = grain.MapDataset.range(len(dataset))
+    if shuffle:
+        ds = ds.shuffle(seed=seed)
+    if num_epochs is None:
+        ds = ds.repeat()
+    elif num_epochs > 1:
+        ds = ds.repeat(num_epochs)
+    ds = ds.map(_SampleMap(dataset))
+    it = ds.to_iter_dataset(
+        grain.ReadOptions(num_threads=max(1, read_buffer // 16),
+                          prefetch_buffer_size=read_buffer))
+    it = it.batch(batch_size, drop_remainder=drop_remainder)
+    if worker_count > 0:
+        it = it.mp_prefetch(
+            grain.MultiprocessingOptions(num_workers=worker_count))
+    return it

@@ -50,6 +50,18 @@ def test_opts_override():
     assert cfg.DATASET.ROOT == "/x"
 
 
+def test_reference_yaml_quirks(tmp_path):
+    """yacs-style tuple strings + CUDNN section port 1:1."""
+    y = tmp_path / "ref.yaml"
+    y.write_text(
+        "GPUS: '(0,1,2,3)'\n"
+        "CUDNN:\n  BENCHMARK: true\n  DETERMINISTIC: false\n  ENABLED: true\n"
+        "MODEL:\n  SIGMA: 2\n")
+    cfg = load_config(str(y))
+    assert cfg.GPUS == (0, 1, 2, 3)
+    assert cfg.CUDNN.BENCHMARK is True
+
+
 def test_crowdpose_cfg():
     path = [p for p in YAMLS if "crowdpose" in p][0]
     cfg = load_config(path)
