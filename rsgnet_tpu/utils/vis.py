@@ -76,6 +76,14 @@ def save_debug_images(cfg, inputs, joints, joints_vis, target, output,
     if cfg.DEBUG.SAVE_BATCH_IMAGES_GT:
         save_batch_image_with_joints(inputs, joints, joints_vis,
                                      f"{prefix}_gt.png")
+    if cfg.DEBUG.SAVE_BATCH_IMAGES_PRED:
+        hm = np.asarray(output)
+        n, hh, wh, k = hm.shape
+        flat = hm.reshape(n, hh * wh, k).argmax(axis=1)
+        stride = np.asarray(inputs).shape[1] / hh
+        pred = np.stack([(flat % wh) * stride, (flat // wh) * stride], -1)
+        save_batch_image_with_joints(inputs, pred, np.ones((n, k)),
+                                     f"{prefix}_pred.png", color=(255, 0, 0))
     if cfg.DEBUG.SAVE_HEATMAPS_GT:
         save_batch_heatmaps(inputs, target, f"{prefix}_hm_gt.png")
     if cfg.DEBUG.SAVE_HEATMAPS_PRED:

@@ -50,6 +50,7 @@ def test_vis_debug_images(tmp_path):
     cfg = tiny_rsgnet()
     cfg.DEBUG.DEBUG = True
     cfg.DEBUG.SAVE_BATCH_IMAGES_GT = True
+    cfg.DEBUG.SAVE_BATCH_IMAGES_PRED = True
     cfg.DEBUG.SAVE_HEATMAPS_GT = True
     cfg.DEBUG.SAVE_HEATMAPS_PRED = True
     n, k = 2, cfg.MODEL.NUM_JOINTS
@@ -60,5 +61,6 @@ def test_vis_debug_images(tmp_path):
     prefix = str(tmp_path / "dbg")
     save_debug_images(cfg, inputs, joints, vis, hm, hm, prefix)
     assert os.path.exists(prefix + "_gt.png")
+    assert os.path.exists(prefix + "_pred.png")
     assert os.path.exists(prefix + "_hm_gt.png")
     assert os.path.exists(prefix + "_hm_pred.png")
