@@ -57,10 +57,13 @@ def make_inference_fn(cfg: Config, model, jit=True):
     return jax.jit(fn) if jit else fn
 
 
-def make_e2e_fn(cfg: Config, model, src_size, jit=True):
+def make_e2e_fn(cfg: Config, model, src_size, jit=True, mesh=None):
     """Raw padded images + center/scale -> keypoints; warp fused on device.
 
     src_size: static (H, W) of the padded source images.
+    mesh: optional 1-D data mesh — batch args sharded over it, params
+    replicated (data-parallel eval; collectives-free, XLA just splits the
+    batch over ICI).
     """
     spec = get_spec(cfg.DATASET.DATASET)
     perm = jnp.asarray(spec.flip_perm)
@@ -79,4 +82,12 @@ def make_e2e_fn(cfg: Config, model, src_size, jit=True):
             use_dark=use_dark, blur_kernel=cfg.TEST.BLUR_KERNEL)
         return preds, maxvals
 
-    return jax.jit(fn) if jit else fn
+    if not jit:
+        return fn
+    if mesh is None:
+        return jax.jit(fn)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P(cfg.MESH_DATA_AXIS))
+    return jax.jit(fn, in_shardings=(repl, shard, shard, shard),
+                   out_shardings=(shard, shard))

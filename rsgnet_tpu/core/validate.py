@@ -21,12 +21,21 @@ from rsgnet_tpu.data.loader import BatchLoader, device_prefetch
 
 def validate(cfg: Config, dataset, model, variables,
              batch_size: int | None = None, output_dir: str | None = None,
-             num_workers: int = 8, logger=None):
-    """Returns (name_value OrderedDict, AP). Mirrors reference validate()."""
-    batch_size = batch_size or cfg.TEST.BATCH_SIZE_PER_GPU
+             num_workers: int = 8, logger=None, mesh=None):
+    """Returns (name_value OrderedDict, AP). Mirrors reference validate().
+
+    With ``mesh`` (a 1-D data mesh) the batch is sharded over the chips and
+    params replicated — data-parallel eval, the reference DataParallel
+    validate analogue. Batch size scales per chip.
+    """
+    n_dev = mesh.size if mesh is not None else 1
+    batch_size = (batch_size or cfg.TEST.BATCH_SIZE_PER_GPU) * n_dev
     loader = BatchLoader(dataset, batch_size, shuffle=False,
                          num_workers=num_workers, pad_last=True)
-    infer = make_e2e_fn(cfg, model, dataset.src_size)
+    infer = make_e2e_fn(cfg, model, dataset.src_size, mesh=mesh)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        variables = jax.device_put(variables, NamedSharding(mesh, P()))
 
     n = len(dataset)
     k = dataset.num_joints
@@ -35,7 +44,11 @@ def validate(cfg: Config, dataset, model, variables,
     image_ids = np.zeros((n,), np.int64)
     seen = 0
     t0 = time.perf_counter()
-    for batch in device_prefetch(iter(loader)):
+    batch_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        batch_sharding = NamedSharding(mesh, P(cfg.MESH_DATA_AXIS))
+    for batch in device_prefetch(iter(loader), sharding=batch_sharding):
         nv = int(batch["num_valid"])
         preds, maxvals = infer(variables, batch["image"].astype(np.float32),
                                batch["center"], batch["scale"])

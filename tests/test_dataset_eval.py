@@ -107,6 +107,25 @@ def test_validate_end_to_end_runs(fixture_root):
     assert 0.0 <= name_value["AR"] <= 1.0 or name_value["AR"] == -1.0
 
 
+def test_validate_sharded_over_mesh(fixture_root):
+    """Data-parallel eval over the virtual 8-device mesh."""
+    import jax
+    from rsgnet_tpu.core.validate import validate
+    from rsgnet_tpu.models import get_pose_net
+    from rsgnet_tpu.parallel.mesh import make_mesh
+
+    cfg = make_cfg()
+    ds = build(cfg, fixture_root)
+    model = get_pose_net(cfg)
+    h, w = cfg.MODEL.IMAGE_SIZE[1], cfg.MODEL.IMAGE_SIZE[0]
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, h, w, 3), np.float32), train=False)
+    mesh = make_mesh(8)
+    name_value, ap = validate(cfg, ds, model, variables, batch_size=1,
+                              mesh=mesh)
+    assert np.isfinite(ap)
+
+
 def test_crowdpose_dataset(tmp_path):
     """CrowdPose layout + 14 joints + crowd-index AP splits."""
     import json
