@@ -133,6 +133,7 @@ class TestConfig:
     USE_GT_BBOX: bool = True
     BLUR_KERNEL: int = 11
     DECODE: str = "default"          # "default" (quarter-offset) | "dark"
+    PALLAS_DECODE: bool = False      # fused Pallas DARK kernel (TPU-only)
 
 
 @dataclass

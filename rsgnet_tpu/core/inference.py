@@ -51,7 +51,8 @@ def make_inference_fn(cfg: Config, model, jit=True):
         preds, maxvals = get_final_preds_jax(
             output, centers, scales,
             post_process=cfg.TEST.POST_PROCESS,
-            use_dark=use_dark, blur_kernel=cfg.TEST.BLUR_KERNEL)
+            use_dark=use_dark, blur_kernel=cfg.TEST.BLUR_KERNEL,
+            use_pallas=cfg.TEST.PALLAS_DECODE)
         return preds, maxvals
 
     return jax.jit(fn) if jit else fn
@@ -79,7 +80,8 @@ def make_e2e_fn(cfg: Config, model, src_size, jit=True, mesh=None):
         preds, maxvals = get_final_preds_jax(
             output, centers, scales,
             post_process=cfg.TEST.POST_PROCESS,
-            use_dark=use_dark, blur_kernel=cfg.TEST.BLUR_KERNEL)
+            use_dark=use_dark, blur_kernel=cfg.TEST.BLUR_KERNEL,
+            use_pallas=cfg.TEST.PALLAS_DECODE)
         return preds, maxvals
 
     if not jit:

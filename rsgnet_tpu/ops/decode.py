@@ -119,19 +119,27 @@ def dark_refine_jax(heatmaps_nhwc, coords, blur_kernel=11):
 
 
 def get_final_preds_jax(heatmaps_nhwc, center, scale, *,
-                        post_process=True, use_dark=False, blur_kernel=11):
+                        post_process=True, use_dark=False, blur_kernel=11,
+                        use_pallas=False):
     """Full decode: peaks -> sub-pixel refinement -> image coordinates.
 
     Mirrors the reference ``get_final_preds`` (SURVEY.md §3.2): DARK replaces
     the quarter-offset when enabled. center/scale: (N, 2).
+    ``use_pallas`` routes the DARK path through the fused single-HBM-pass
+    Pallas kernel (ops/pallas/dark_decode.py).
 
     Returns preds (N, K, 2) in original-image coords and maxvals (N, K, 1).
     """
-    coords, maxvals = get_max_preds_jax(heatmaps_nhwc)
-    if use_dark:
-        coords = dark_refine_jax(heatmaps_nhwc, coords, blur_kernel)
-    elif post_process:
-        coords = quarter_offset_jax(heatmaps_nhwc, coords)
+    if use_dark and use_pallas:
+        from rsgnet_tpu.ops.pallas import dark_decode_pallas
+        coords, maxvals = dark_decode_pallas(heatmaps_nhwc,
+                                             blur_kernel=blur_kernel)
+    else:
+        coords, maxvals = get_max_preds_jax(heatmaps_nhwc)
+        if use_dark:
+            coords = dark_refine_jax(heatmaps_nhwc, coords, blur_kernel)
+        elif post_process:
+            coords = quarter_offset_jax(heatmaps_nhwc, coords)
     h, w = heatmaps_nhwc.shape[1], heatmaps_nhwc.shape[2]
     preds = transform_preds_jax(coords, center, scale, (w, h))
     return preds, maxvals
