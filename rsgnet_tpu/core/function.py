@@ -82,6 +82,21 @@ def fit(cfg: Config, model, train_dataset, val_dataset=None,
 
     state = init_state or create_train_state(
         cfg, model, jax.random.PRNGKey(0), steps_per_epoch=steps_per_epoch)
+    if (init_state is None and cfg.MODEL.INIT_WEIGHTS
+            and cfg.MODEL.PRETRAINED):
+        # reference init_weights: backbone from a pretrained torch checkpoint
+        from rsgnet_tpu.utils.torch_convert import (load_pretrained_backbone,
+                                                    load_torch_checkpoint)
+        sd = load_torch_checkpoint(cfg.MODEL.PRETRAINED)
+        nest = "backbone" if "backbone" in state.params else None
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        variables, n = load_pretrained_backbone(cfg, variables, sd,
+                                                nest_under=nest)
+        state = state.replace(params=variables["params"],
+                              batch_stats=variables["batch_stats"])
+        if logger:
+            logger.info("loaded %d pretrained backbone tensors from %s",
+                        n, cfg.MODEL.PRETRAINED)
 
     repl = NamedSharding(mesh, P())
     shard = NamedSharding(mesh, P(cfg.MESH_DATA_AXIS))

@@ -179,6 +179,46 @@ def export_state_dict(cfg: Config, params, batch_stats,
     return out
 
 
+def load_pretrained_backbone(cfg: Config, variables, torch_sd,
+                             nest_under: str | None = None):
+    """Reference ``init_weights`` semantics (SURVEY.md §2.7): initialize the
+    backbone from a pretrained torch state_dict (ImageNet-classification
+    HRNet or a pose checkpoint), loading only the tensors that exist and
+    respecting MODEL.EXTRA.PRETRAINED_LAYERS ('*' = everything available).
+    Missing tensors (e.g. final_layer in a classification checkpoint, or a
+    classifier head we don't map) are left at their fresh initialization.
+
+    Returns (new_variables, n_loaded_tensors).
+    """
+    import copy
+    allowed = tuple(cfg.MODEL.EXTRA.PRETRAINED_LAYERS)
+    load_all = "*" in allowed
+    variables = {"params": copy.deepcopy(dict(variables["params"])),
+                 "batch_stats": copy.deepcopy(dict(variables["batch_stats"]))}
+    n_loaded = 0
+    for tname, fpath, kind in hrnet_key_map(cfg):
+        if tname not in torch_sd:
+            continue
+        root = tname.split(".")[0].rstrip("0123456789") or tname
+        if not load_all and tname.split(".")[0] not in allowed \
+                and root not in allowed:
+            continue
+        v = np.asarray(torch_sd[tname])
+        if kind == "conv":
+            v = np.transpose(v, (2, 3, 1, 0))
+        is_stat = fpath[-1] in ("mean", "var")
+        tree = variables["batch_stats" if is_stat else "params"]
+        if nest_under:
+            tree = tree[nest_under]
+        cur = _get(tree, fpath)
+        if tuple(cur.shape) != tuple(v.shape):
+            raise ValueError(f"shape mismatch for {tname}: "
+                             f"{cur.shape} vs {v.shape}")
+        _set(tree, fpath, v)
+        n_loaded += 1
+    return variables, n_loaded
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     """Read a .pth file (torch is CPU-only in this env; weights_only)."""
     import torch
