@@ -94,19 +94,26 @@ def write_fixture(root, dataset, with_images=True):
     img_dir = os.path.join(root, "images")
     if with_images:
         os.makedirs(img_dir, exist_ok=True)
+        num_joints = len(dataset["categories"][0]["keypoints"])
+        # one distinct saturated color per joint index so tiny models can
+        # actually learn joint identity from appearance (overfit tests)
+        hues = np.linspace(0, 1, num_joints, endpoint=False)
+        colors = np.stack([
+            (np.sin(2 * np.pi * (hues + o)) * 0.5 + 0.5) * 255
+            for o in (0.0, 1 / 3, 2 / 3)], -1).astype(np.uint8)
         for im in dataset["images"]:
             rng = np.random.RandomState(im["id"])
-            arr = rng.randint(0, 255, (im["height"], im["width"], 3),
-                              dtype=np.uint8)
-            # draw bright disks at each keypoint so models/decoders have signal
+            arr = rng.randint(0, 60, (im["height"], im["width"], 3),
+                              dtype=np.uint8)          # dim noise background
             for a in dataset["annotations"]:
                 if a["image_id"] != im["id"]:
                     continue
                 kp = np.asarray(a["keypoints"]).reshape(-1, 3)
-                for x, y, v in kp:
+                for j, (x, y, v) in enumerate(kp):
                     if v > 0:
                         yy, xx = int(y), int(x)
-                        arr[max(0, yy - 2):yy + 3, max(0, xx - 2):xx + 3] = 255
+                        arr[max(0, yy - 4):yy + 5,
+                            max(0, xx - 4):xx + 5] = colors[j]
             from PIL import Image
             Image.fromarray(arr).save(
                 os.path.join(img_dir, im["file_name"]), quality=95)
