@@ -66,10 +66,22 @@ def train_one_epoch(step_fn, state, loader, rng, epoch, shard, logger=None,
     return state, losses.avg
 
 
+def _make_tb_writer(tb_dir):
+    """clu TensorBoard writer (reference SummaryWriter analogue, SURVEY.md
+    §5.5); None if clu/TF is unavailable."""
+    if not tb_dir:
+        return None
+    try:
+        from clu import metric_writers
+        return metric_writers.create_default_writer(tb_dir)
+    except Exception:
+        return None
+
+
 def fit(cfg: Config, model, train_dataset, val_dataset=None,
         output_dir: str = "output", logger=None, num_workers: int = 8,
         mesh=None, max_epochs=None, eval_every: int = 1,
-        init_state=None):
+        init_state=None, tb_dir=None):
     """Full training run. Returns (state, best_perf)."""
     spec = get_spec(cfg.DATASET.DATASET)
     mesh = mesh or make_mesh(axis_name=cfg.MESH_DATA_AXIS)
@@ -115,6 +127,7 @@ def fit(cfg: Config, model, train_dataset, val_dataset=None,
             logger.info("auto-resumed at epoch %d (best %.4f)",
                         begin_epoch, best_perf)
 
+    writer = _make_tb_writer(tb_dir)
     end_epoch = min(cfg.TRAIN.END_EPOCH, max_epochs or cfg.TRAIN.END_EPOCH)
     rng = jax.random.PRNGKey(begin_epoch + 1)
     for epoch in range(begin_epoch, end_epoch):
@@ -131,7 +144,13 @@ def fit(cfg: Config, model, train_dataset, val_dataset=None,
         is_best = perf >= best_perf
         best_perf = max(best_perf, perf)
         save_checkpoint(output_dir, state, epoch, perf, is_best)
+        if writer:
+            writer.write_scalars(epoch, {"train_loss": loss,
+                                         "valid_AP": perf,
+                                         "best_AP": best_perf})
         if logger:
             logger.info("epoch %d: loss %.5f perf %.4f best %.4f",
                         epoch, loss, perf, best_perf)
+    if writer:
+        writer.flush()
     return state, best_perf

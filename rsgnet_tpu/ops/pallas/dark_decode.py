@@ -42,53 +42,69 @@ def _masked_roll(x, d, axis, size):
     return jnp.where(valid, rolled, 0.0)
 
 
-def _kernel(hm_ref, coords_ref, maxval_ref, *, k1d, h, w):
-    hm = hm_ref[0]                                   # (H, W)
+MAPS_PER_PROGRAM = 8     # sublane-aligned output rows per grid cell
 
-    # original-map peak: first-match argmax (np.argmax tie semantics)
-    flat_idx = jnp.argmax(hm.reshape(-1))
-    maxv = jnp.max(hm)
-    px0 = (flat_idx % w).astype(jnp.int32)
-    py0 = (flat_idx // w).astype(jnp.int32)
 
-    # separable zero-fill Gaussian blur in VMEM
+def _kernel(hm_ref, out_ref, *, k1d, h, w):
+    """Processes MAPS_PER_PROGRAM heatmaps; out block (8, 128) rows are
+    [x, y, maxval, 0, ...] per map (lane-padded to Mosaic's tile width)."""
     r = (len(k1d) - 1) // 2
-    acc = jnp.zeros_like(hm)
-    for d in range(-r, r + 1):
-        acc = acc + float(k1d[d + r]) * _masked_roll(hm, d, 1, w)
-    out = jnp.zeros_like(hm)
-    for d in range(-r, r + 1):
-        out = out + float(k1d[d + r]) * _masked_roll(acc, d, 0, h)
-    # per-map max renormalization (DARK modulation)
-    out = out * (maxv / jnp.maximum(jnp.max(out), 1e-20))
-    lg = jnp.log(jnp.clip(out, 1e-10, 50.0))
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    for m in range(MAPS_PER_PROGRAM):
+        hm = hm_ref[m]                               # (H, W)
 
-    # 10-tap neighborhood reads (scalar loads at dynamic indices)
-    def tap(dy, dx):
-        yy = jnp.clip(py0 + dy, 0, h - 1)
-        xx = jnp.clip(px0 + dx, 0, w - 1)
-        return jax.lax.dynamic_slice(lg, (yy, xx), (1, 1))[0, 0]
+        # original-map peak: first-match argmax (np.argmax tie semantics)
+        # without the flat reshape Mosaic can't lower: min row-major index
+        # among the cells equal to the max
+        maxv = jnp.max(hm)
+        flat_grid = rows * w + cols
+        flat_idx = jnp.min(jnp.where(hm == maxv, flat_grid, h * w))
+        px0 = (flat_idx % w).astype(jnp.int32)
+        py0 = (flat_idx // w).astype(jnp.int32)
 
-    dx = 0.5 * (tap(0, 1) - tap(0, -1))
-    dy = 0.5 * (tap(1, 0) - tap(-1, 0))
-    cval = tap(0, 0)
-    dxx = 0.25 * (tap(0, 2) - 2.0 * cval + tap(0, -2))
-    dyy = 0.25 * (tap(2, 0) - 2.0 * cval + tap(-2, 0))
-    dxy = 0.25 * (tap(1, 1) - tap(-1, 1) - tap(1, -1) + tap(-1, -1))
+        # separable zero-fill Gaussian blur in VMEM
+        acc = jnp.zeros_like(hm)
+        for d in range(-r, r + 1):
+            acc = acc + float(k1d[d + r]) * _masked_roll(hm, d, 1, w)
+        out = jnp.zeros_like(hm)
+        for d in range(-r, r + 1):
+            out = out + float(k1d[d + r]) * _masked_roll(acc, d, 0, h)
+        # per-map max renormalization (DARK modulation)
+        out = out * (maxv / jnp.maximum(jnp.max(out), 1e-20))
+        lg = jnp.log(jnp.clip(out, 1e-10, 50.0))
 
-    det = dxx * dyy - dxy * dxy
-    ok = ((px0 > 1) & (px0 < w - 2) & (py0 > 1) & (py0 < h - 2)
-          & (det != 0.0))
-    inv_det = jnp.where(det == 0.0, 0.0, 1.0 / det)
-    off_x = -(dyy * dx - dxy * dy) * inv_det
-    off_y = -(-dxy * dx + dxx * dy) * inv_det
-    okf = ok.astype(jnp.float32)
+        # 10-tap neighborhood reads as masked reductions (Mosaic has no
+        # dynamic_slice on values; a one-hot reduction is VPU-trivial here)
+        def tap(dy, dx):
+            yy = jnp.clip(py0 + dy, 0, h - 1)
+            xx = jnp.clip(px0 + dx, 0, w - 1)
+            return jnp.sum(jnp.where((rows == yy) & (cols == xx), lg, 0.0))
 
-    # reference get_max_preds zeroes coords where maxval <= 0
-    alive = (maxv > 0.0).astype(jnp.float32)
-    coords_ref[0, 0] = (px0.astype(jnp.float32) + off_x * okf) * alive
-    coords_ref[0, 1] = (py0.astype(jnp.float32) + off_y * okf) * alive
-    maxval_ref[0, 0] = maxv
+        dx = 0.5 * (tap(0, 1) - tap(0, -1))
+        dy = 0.5 * (tap(1, 0) - tap(-1, 0))
+        cval = tap(0, 0)
+        dxx = 0.25 * (tap(0, 2) - 2.0 * cval + tap(0, -2))
+        dyy = 0.25 * (tap(2, 0) - 2.0 * cval + tap(-2, 0))
+        dxy = 0.25 * (tap(1, 1) - tap(-1, 1) - tap(1, -1) + tap(-1, -1))
+
+        det = dxx * dyy - dxy * dxy
+        ok = ((px0 > 1) & (px0 < w - 2) & (py0 > 1) & (py0 < h - 2)
+              & (det != 0.0))
+        inv_det = jnp.where(det == 0.0, 0.0, 1.0 / det)
+        off_x = -(dyy * dx - dxy * dy) * inv_det
+        off_y = -(-dxy * dx + dxx * dy) * inv_det
+        okf = ok.astype(jnp.float32)
+
+        # reference get_max_preds zeroes coords where maxval <= 0
+        alive = (maxv > 0.0).astype(jnp.float32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        row = jnp.where(
+            lane == 0, (px0.astype(jnp.float32) + off_x * okf) * alive,
+            jnp.where(lane == 1,
+                      (py0.astype(jnp.float32) + off_y * okf) * alive,
+                      jnp.where(lane == 2, maxv, 0.0)))
+        out_ref[m, :] = row[0]
 
 
 @functools.partial(jax.jit, static_argnames=("blur_kernel", "interpret"))
@@ -100,20 +116,23 @@ def dark_decode_pallas(heatmaps_nhwc, blur_kernel: int = 11,
     """
     n, h, w, k = heatmaps_nhwc.shape
     maps = jnp.transpose(heatmaps_nhwc, (0, 3, 1, 2)).reshape(n * k, h, w)
+    # pad the map count to a full final program (zero maps decode to zeros)
+    mp = MAPS_PER_PROGRAM
+    total = ((n * k + mp - 1) // mp) * mp
+    if total != n * k:
+        maps = jnp.pad(maps, ((0, total - n * k), (0, 0), (0, 0)))
     k1d = _cv2_gaussian_kernel_1d(blur_kernel)
     kernel = functools.partial(_kernel, k1d=np.asarray(k1d, np.float64),
                                h=h, w=w)
-    coords, maxvals = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        grid=(n * k,),
-        in_specs=[pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+        grid=(total // mp,),
+        in_specs=[pl.BlockSpec((mp, h, w), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=(pl.BlockSpec((1, 2), lambda i: (i, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, 1), lambda i: (i, 0),
-                                memory_space=pltpu.VMEM)),
-        out_shape=(jax.ShapeDtypeStruct((n * k, 2), jnp.float32),
-                   jax.ShapeDtypeStruct((n * k, 1), jnp.float32)),
+        out_specs=pl.BlockSpec((mp, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((total, 128), jnp.float32),
         interpret=interpret,
     )(maps)
-    return coords.reshape(n, k, 2), maxvals.reshape(n, k, 1)
+    out = out[:n * k]
+    return out[:, :2].reshape(n, k, 2), out[:, 2:3].reshape(n, k, 1)

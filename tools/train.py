@@ -35,7 +35,7 @@ def main():
     cfg = load_config(args.cfg, overrides=opts_to_dict(args.opts))
     if args.dataDir:
         cfg.DATASET.ROOT = args.dataDir
-    logger, output_dir, _ = create_logger(cfg, args.cfg, "train")
+    logger, output_dir, tb_dir = create_logger(cfg, args.cfg, "train")
     logger.info("config: %s", cfg)
 
     model = get_pose_net(cfg)
@@ -43,7 +43,7 @@ def main():
     val_ds = get_dataset(cfg, is_train=False)
     state, best = fit(cfg, model, train_ds, val_ds, output_dir=output_dir,
                       logger=logger, num_workers=args.workers,
-                      max_epochs=args.max_epochs)
+                      max_epochs=args.max_epochs, tb_dir=tb_dir)
     logger.info("done; best perf %.4f", best)
 
 
