@@ -50,7 +50,9 @@ def validate(cfg: Config, dataset, model, variables,
         batch_sharding = NamedSharding(mesh, P(cfg.MESH_DATA_AXIS))
     for batch in device_prefetch(iter(loader), sharding=batch_sharding):
         nv = int(batch["num_valid"])
-        preds, maxvals = infer(variables, batch["image"].astype(np.float32),
+        # uint8 canvases go to the device as-is; the fused warp gathers in
+        # uint8 and casts taps (4x less H2D + HBM traffic)
+        preds, maxvals = infer(variables, batch["image"],
                                batch["center"], batch["scale"])
         preds = np.asarray(preds)[:nv]
         maxvals = np.asarray(maxvals)[:nv]

@@ -125,8 +125,7 @@ def augment_batch(key, images, joints, joints_vis, centers, scales,
     trans_flipped = jnp.stack([f_col0, trans[:, :, 1], f_col2], axis=-1)
     total_trans = jnp.where(do_flip[:, None, None], trans_flipped, trans)
 
-    inputs = affine_warp_batch(jnp.asarray(images, jnp.float32),
-                               total_trans, image_size)
+    inputs = affine_warp_batch(jnp.asarray(images), total_trans, image_size)
     inputs = normalize_image(inputs)
 
     # joints through the same (flip-composed) transform + L/R permutation

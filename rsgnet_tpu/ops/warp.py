@@ -65,7 +65,11 @@ def affine_warp(image, trans, out_size):
 
 
 def _bilinear_gather(image, src_x, src_y):
-    """Bilinear sample ``image`` (H, W, C) at float coords; 0 outside."""
+    """Bilinear sample ``image`` (H, W, C) at float coords; 0 outside.
+
+    The gather reads the source in its stored dtype (uint8 sources move 4x
+    less HBM/H2D traffic than pre-converted fp32) and casts taps afterward.
+    """
     h, w = image.shape[0], image.shape[1]
     x0 = jnp.floor(src_x)
     y0 = jnp.floor(src_y)
@@ -78,7 +82,7 @@ def _bilinear_gather(image, src_x, src_y):
         valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
         xc = jnp.clip(xi, 0, w - 1)
         yc = jnp.clip(yi, 0, h - 1)
-        vals = image[yc, xc]                       # gather: (out_h, out_w, C)
+        vals = image[yc, xc].astype(jnp.float32)   # gather: (out_h, out_w, C)
         return jnp.where(valid[..., None], vals, 0.0)
 
     v00 = tap(y0i, x0i)
@@ -94,7 +98,9 @@ def _bilinear_gather(image, src_x, src_y):
 
 
 def affine_warp_batch(images, trans, out_size):
-    """vmap'd ``affine_warp``: images (N, H, W, C), trans (N, 2, 3)."""
+    """vmap'd ``affine_warp``: images (N, H, W, C) any dtype, trans (N, 2, 3).
+    Output is float32; uint8 sources are gathered as uint8 (see
+    ``_bilinear_gather``)."""
     return jax.vmap(lambda im, t: affine_warp(im, t, out_size))(images, trans)
 
 
@@ -124,8 +130,7 @@ def crop_and_normalize(images, trans, out_size, flip=None):
     Returns:
       (N, out_h, out_w, 3) float32 normalized inputs.
     """
-    images = jnp.asarray(images, jnp.float32)
-    crops = affine_warp_batch(images, trans, out_size)
+    crops = affine_warp_batch(jnp.asarray(images), trans, out_size)
     if flip is not None:
         flipped = crops[:, :, ::-1, :]
         crops = jnp.where(flip[:, None, None, None], flipped, crops)
