@@ -114,6 +114,10 @@ class TrainConfig:
     CHECKPOINT: str = ""
     BATCH_SIZE_PER_GPU: int = 32
     SHUFFLE: bool = True
+    # TPU-native addition: rematerialize HRNet stages in the backward pass
+    # (jax.checkpoint) — trades recompute FLOPs for activation HBM, enabling
+    # larger per-chip batches.
+    REMAT: bool = False
 
 
 @dataclass

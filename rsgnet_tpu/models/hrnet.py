@@ -166,9 +166,14 @@ class PoseHighResolutionNet(nn.Module):
         return jnp.bfloat16 if self.cfg.DTYPE == "bfloat16" else jnp.float32
 
     def _stage(self, scfg: StageConfig, xs, train, name, multi_scale_output=True):
+        mod_cls = HighResolutionModule
+        if self.cfg.TRAIN.REMAT and train:
+            # jax.checkpoint per module: recompute activations in the
+            # backward pass instead of storing them (HBM for FLOPs)
+            mod_cls = nn.remat(HighResolutionModule, static_argnums=(2,))
         for m in range(scfg.NUM_MODULES):
             mso = multi_scale_output or m < scfg.NUM_MODULES - 1
-            xs = HighResolutionModule(
+            xs = mod_cls(
                 num_branches=scfg.NUM_BRANCHES, block=scfg.BLOCK,
                 num_blocks=scfg.NUM_BLOCKS, num_channels=scfg.NUM_CHANNELS,
                 multi_scale_output=mso, dtype=self.dtype,
