@@ -31,7 +31,7 @@ from rsgnet_tpu.utils.logger import AverageMeter
 
 
 def train_one_epoch(step_fn, state, loader, rng, epoch, shard, logger=None,
-                    print_freq=100):
+                    print_freq=100, cfg=None, debug_dir=None):
     """Returns (state, mean_loss). Device ahead of host via prefetch."""
     batch_time = AverageMeter()
     losses = AverageMeter()
@@ -53,6 +53,13 @@ def train_one_epoch(step_fn, state, loader, rng, epoch, shard, logger=None,
         pending = metrics
         batch_time.update(time.perf_counter() - end)
         end = time.perf_counter()
+        if (cfg is not None and cfg.DEBUG.DEBUG and debug_dir
+                and i % print_freq == 0 and "debug" in metrics):
+            from rsgnet_tpu.utils.vis import save_debug_images
+            d = {k: np.asarray(v) for k, v in metrics["debug"].items()}
+            save_debug_images(cfg, d["inputs"], d["joints"],
+                              d["joints_vis"], d["target"], d["output"],
+                              f"{debug_dir}/train_e{epoch}_i{i}")
         if logger and i % print_freq == 0:
             logger.info(
                 "Epoch [%d][%d/%d] time %.3fs (%.3f) loss %.5f (%.5f) "
@@ -133,7 +140,8 @@ def fit(cfg: Config, model, train_dataset, val_dataset=None,
     for epoch in range(begin_epoch, end_epoch):
         rng, erng = jax.random.split(rng)
         state, loss = train_one_epoch(step_fn, state, loader, erng, epoch,
-                                      shard, logger, cfg.PRINT_FREQ)
+                                      shard, logger, cfg.PRINT_FREQ,
+                                      cfg=cfg, debug_dir=output_dir)
         perf = 0.0
         if val_dataset is not None and (epoch + 1) % eval_every == 0:
             variables = {"params": state.params,

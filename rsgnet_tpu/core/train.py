@@ -99,6 +99,12 @@ def make_train_step(cfg: Config, model, spec: KeypointSpec, jit=True,
             grads=grads, batch_stats=new_model_state["batch_stats"])
         _, avg_acc, _, _ = accuracy_jax(out, aug.target)
         metrics = {"loss": loss, "acc": avg_acc}
+        if cfg.DEBUG.DEBUG:
+            # expose the augmented batch + predictions so the host loop can
+            # dump reference-style debug images (utils/vis.py)
+            metrics["debug"] = {"inputs": aug.inputs, "target": aug.target,
+                                "output": out, "joints": aug.joints_heatmap,
+                                "joints_vis": aug.target_weight}
         return state, metrics
 
     if jit:

@@ -85,6 +85,28 @@ def perfect_results(dataset, score=0.95):
     return out
 
 
+def detection_results(dataset, jitter=4.0, extra_low_score=True, seed=0):
+    """Synthetic person-detector output (the COCO_val2017_detections analogue):
+    gt boxes jittered, plus a low-scoring spurious box per image."""
+    rng = np.random.RandomState(seed)
+    dets = []
+    for a in dataset["annotations"]:
+        if a["iscrowd"]:
+            continue
+        x, y, w, h = a["bbox"]
+        dets.append({
+            "image_id": a["image_id"], "category_id": 1,
+            "bbox": [x + rng.uniform(-jitter, jitter),
+                     y + rng.uniform(-jitter, jitter), w, h],
+            "score": float(rng.uniform(0.7, 0.99)),
+        })
+    if extra_low_score:
+        for im in dataset["images"]:
+            dets.append({"image_id": im["id"], "category_id": 1,
+                         "bbox": [5.0, 5.0, 40.0, 60.0], "score": 0.02})
+    return dets
+
+
 def write_fixture(root, dataset, with_images=True):
     """Write annotations json + deterministic images under ``root``."""
     os.makedirs(os.path.join(root, "annotations"), exist_ok=True)

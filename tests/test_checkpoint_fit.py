@@ -67,6 +67,28 @@ def test_load_weights_msgpack(tmp_path):
     _tree_allclose(state.params, v["params"])
 
 
+def test_fit_debug_dumps_images(fixture_root, tmp_path):
+    """DEBUG.DEBUG in the train loop writes reference-style debug images."""
+    from pathlib import Path
+    from rsgnet_tpu.core.function import fit
+    from rsgnet_tpu.data import get_dataset
+
+    cfg = tiny_rsgnet()
+    cfg.TRAIN.BATCH_SIZE_PER_GPU = 1
+    cfg.PRINT_FREQ = 1
+    cfg.DEBUG.DEBUG = True
+    cfg.DEBUG.SAVE_BATCH_IMAGES_GT = True
+    cfg.DEBUG.SAVE_HEATMAPS_PRED = True
+    out = str(tmp_path / "dbg_run")
+    model = get_pose_net(cfg)
+    train_ds = get_dataset(cfg, root=fixture_root, image_set="val",
+                           is_train=True)
+    train_ds.db = (train_ds.db * 2)[:8]
+    fit(cfg, model, train_ds, val_dataset=None, output_dir=out, max_epochs=1)
+    dumps = list(Path(out).glob("train_e0_*.png"))
+    assert dumps, list(Path(out).iterdir())
+
+
 def test_fit_one_epoch_and_resume(fixture_root, tmp_path):
     """fit() runs an epoch on the fixture, checkpoints, then auto-resumes."""
     from rsgnet_tpu.core.function import fit
