@@ -40,27 +40,36 @@ class AugBatch(NamedTuple):
 
 def _half_body(key, joints, vis, spec: KeypointSpec, aspect_ratio,
                num_joints_half_body, prob_half_body):
-    """Vectorized half-body transform. joints: (K, 2), vis: (K,).
+    """Vectorized half-body transform (reference `half_body_transform`).
 
-    Returns (center, scale, applied) — center/scale of the selected half's
-    bbox (reference semantics: *1.5 padding), or zeros when not applied.
+    Reference semantics reproduced exactly:
+    - upper half chosen when rand < 0.5 AND it has > 2 visible joints;
+      otherwise the lower half if IT has > 2; otherwise fall back to upper;
+    - center = MEAN of the selected joints (not the box center);
+    - box = joint extent, aspect-ratio-fixed, /200, * 1.5 padding;
+    - applied only when total visible > NUM_JOINTS_HALF_BODY, the prob gate
+      fires, and the selection has >= 2 joints.
+
+    Returns (center, scale, applied).
     """
     k = joints.shape[0]
-    k_sel, k_prob, k_side = jax.random.split(key, 3)
-    upper_mask = jnp.zeros((k,), bool).at[jnp.asarray(spec.upper_body_ids)].set(True)
-    use_upper = jax.random.uniform(k_side) < 0.5
-    sel = jnp.where(use_upper, upper_mask, ~upper_mask) & (vis > 0)
-    nsel = jnp.sum(sel)
-    # reference: if the chosen half has <2 joints it tries the other half
-    other = (~jnp.where(use_upper, upper_mask, ~upper_mask)) & (vis > 0)
-    use_other = nsel < 2
-    sel = jnp.where(use_other, other, sel)
+    k_prob, k_side = jax.random.split(key, 2)
+    upper_mask = jnp.zeros((k,), bool).at[
+        jnp.asarray(spec.upper_body_ids)].set(True)
+    up = upper_mask & (vis > 0)
+    low = (~upper_mask) & (vis > 0)
+    n_up = jnp.sum(up)
+    n_low = jnp.sum(low)
+    use_upper = (jax.random.uniform(k_side) < 0.5) & (n_up > 2)
+    use_lower = (~use_upper) & (n_low > 2)
+    sel = jnp.where(use_upper, up, jnp.where(use_lower, low, up))
     nsel = jnp.sum(sel)
 
+    self32 = sel.astype(jnp.float32)[:, None]
+    center = jnp.sum(joints * self32, axis=0) / jnp.maximum(nsel, 1)
     big = 1e9
     mins = jnp.min(jnp.where(sel[:, None], joints, big), axis=0)
     maxs = jnp.max(jnp.where(sel[:, None], joints, -big), axis=0)
-    center = (mins + maxs) * 0.5
     wh = maxs - mins
     w, h = wh[0], wh[1]
     w = jnp.where(w > aspect_ratio * h, w, h * aspect_ratio)
