@@ -215,6 +215,9 @@ def opts_to_dict(opts) -> dict:
     """argparse REMAINDER ``KEY VALUE`` pairs -> nested override dict
     (the reference's ``update_config(cfg, args.opts)``)."""
     import ast
+    if len(opts) % 2:
+        raise ValueError(f"override opts must be KEY VALUE pairs; got an "
+                         f"odd-length list ending in {opts[-1]!r}")
     out: dict = {}
     for k, v in zip(opts[0::2], opts[1::2]):
         node = out

@@ -68,8 +68,8 @@ def train_one_epoch(step_fn, state, loader, rng, epoch, shard, logger=None,
                 losses.val, losses.avg, accs.val, accs.avg,
                 bs / max(batch_time.avg, 1e-9))
     if pending is not None:
-        losses.update(float(pending["loss"]))
-        accs.update(float(pending["acc"]))
+        losses.update(float(pending["loss"]), bs)
+        accs.update(float(pending["acc"]), bs)
     return state, losses.avg
 
 
@@ -143,13 +143,16 @@ def fit(cfg: Config, model, train_dataset, val_dataset=None,
                                       shard, logger, cfg.PRINT_FREQ,
                                       cfg=cfg, debug_dir=output_dir)
         perf = 0.0
-        if val_dataset is not None and (epoch + 1) % eval_every == 0:
+        validated = (val_dataset is not None
+                     and (epoch + 1) % eval_every == 0)
+        if validated:
             variables = {"params": state.params,
                          "batch_stats": state.batch_stats}
             _, perf = validate(cfg, val_dataset, model, variables,
                                output_dir=output_dir, logger=logger,
-                               num_workers=num_workers)
-        is_best = perf >= best_perf
+                               num_workers=num_workers, mesh=mesh)
+        # best is only meaningful on epochs that actually evaluated
+        is_best = validated and perf >= best_perf
         best_perf = max(best_perf, perf)
         save_checkpoint(output_dir, state, epoch, perf, is_best)
         if writer:

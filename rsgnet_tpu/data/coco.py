@@ -117,8 +117,22 @@ class COCODataset(TopDownDataset):
 
     # -- evaluation (reference `evaluate`) ----------------------------------
 
+    STAT_KEYS = ["AP", "AP .5", "AP .75", "AP (M)", "AP (L)",
+                 "AR", "AR .5", "AR .75", "AR (M)", "AR (L)"]
+
+    def _run_keypoint_eval(self, results) -> dict:
+        """Hook: dataset-specific KeypointEval construction/summary."""
+        dt = self.coco.load_results(results)
+        return KeypointEval(self.coco, dt, self.spec.sigmas).summarize()
+
     def evaluate(self, preds, all_boxes, image_ids, output_dir=None):
-        """preds (N, K, 3); all_boxes (N, 6) [cx, cy, sx, sy, area, score]."""
+        """preds (N, K, 3); all_boxes (N, 6) [cx, cy, sx, sy, area, score].
+
+        Shared pipeline (COCO + CrowdPose): per-image grouping, rescoring
+        (mean keypoint score above IN_VIS_THRE times box score), OKS-NMS
+        (soft behind TEST.SOFT_NMS), results json, then the dataset's
+        ``_run_keypoint_eval`` hook.
+        """
         preds = np.asarray(preds)
         all_boxes = np.asarray(all_boxes)
         per_image = defaultdict(list)
@@ -158,12 +172,9 @@ class COCODataset(TopDownDataset):
             with open(res_file, "w") as f:
                 json.dump(results, f)
 
-        dt = self.coco.load_results(results)
-        stats = KeypointEval(self.coco, dt, self.spec.sigmas).summarize()
+        stats = self._run_keypoint_eval(results)
         name_value = OrderedDict(
-            (k, stats[k]) for k in
-            ["AP", "AP .5", "AP .75", "AP (M)", "AP (L)",
-             "AR", "AR .5", "AR .75", "AR (M)", "AR (L)"] if k in stats)
+            (k, stats[k]) for k in self.STAT_KEYS if k in stats)
         return name_value, name_value["AP"]
 
     def _results_json(self, kept_per_image):

@@ -46,7 +46,22 @@ def get_lib():
         if not os.path.exists(_LIB_PATH) and not _build():
             _LIB = False
             return None
-        lib = ctypes.CDLL(_LIB_PATH)
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            # stale/foreign-arch binary: rebuild once, else NumPy fallback
+            try:
+                os.remove(_LIB_PATH)
+            except OSError:
+                pass
+            if not _build():
+                _LIB = False
+                return None
+            try:
+                lib = ctypes.CDLL(_LIB_PATH)
+            except OSError:
+                _LIB = False
+                return None
         f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
         i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
         lib.oks_nms.restype = ctypes.c_int

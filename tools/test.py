@@ -34,9 +34,13 @@ def main():
     model = get_pose_net(cfg)
     variables = load_weights(cfg, model, cfg.TEST.MODEL_FILE)
     dataset = get_dataset(cfg, is_train=False)
+    import jax
+    from rsgnet_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh(axis_name=cfg.MESH_DATA_AXIS) \
+        if len(jax.devices()) > 1 else None
     name_value, ap = validate(cfg, dataset, model, variables,
                               output_dir=output_dir, logger=logger,
-                              num_workers=args.workers)
+                              num_workers=args.workers, mesh=mesh)
     logger.info("AP: %.4f", ap)
     for k, v in name_value.items():
         logger.info("%-8s: %.4f", k, v)
