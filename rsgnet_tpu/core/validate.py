@@ -48,26 +48,39 @@ def validate(cfg: Config, dataset, model, variables,
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
         batch_sharding = NamedSharding(mesh, P(cfg.MESH_DATA_AXIS))
+    # keep a window of batches in flight and materialize the oldest lazily:
+    # per-batch host syncs cost a full tunnel round trip on remote backends
+    # (BENCH_NOTES.md), while unbounded dispatch would pin every in-flight
+    # batch's buffers in HBM
+    window: list = []
+
+    def drain_one():
+        nonlocal seen
+        nv, preds, maxvals, c, s, score, img_id = window.pop(0)
+        sl = slice(seen, seen + nv)
+        all_preds[sl, :, :2] = np.asarray(preds)[:nv]
+        all_preds[sl, :, 2:3] = np.asarray(maxvals)[:nv]
+        c = np.asarray(c)[:nv]
+        s = np.asarray(s)[:nv]
+        all_boxes[sl, 0:2] = c
+        all_boxes[sl, 2:4] = s
+        all_boxes[sl, 4] = np.prod(s * 200.0, axis=1)
+        all_boxes[sl, 5] = np.asarray(score)[:nv]
+        image_ids[sl] = np.asarray(img_id)[:nv]
+        seen += nv
+
     for batch in device_prefetch(iter(loader), sharding=batch_sharding):
         nv = int(batch["num_valid"])
         # uint8 canvases go to the device as-is; the fused warp gathers in
         # uint8 and casts taps (4x less H2D + HBM traffic)
         preds, maxvals = infer(variables, batch["image"],
                                batch["center"], batch["scale"])
-        preds = np.asarray(preds)[:nv]
-        maxvals = np.asarray(maxvals)[:nv]
-        c = np.asarray(batch["center"])[:nv]
-        s = np.asarray(batch["scale"])[:nv]
-        score = np.asarray(batch["score"])[:nv]
-        sl = slice(seen, seen + nv)
-        all_preds[sl, :, :2] = preds
-        all_preds[sl, :, 2:3] = maxvals
-        all_boxes[sl, 0:2] = c
-        all_boxes[sl, 2:4] = s
-        all_boxes[sl, 4] = np.prod(s * 200.0, axis=1)
-        all_boxes[sl, 5] = score
-        image_ids[sl] = np.asarray(batch["image_id"])[:nv]
-        seen += nv
+        window.append((nv, preds, maxvals, batch["center"], batch["scale"],
+                       batch["score"], batch["image_id"]))
+        if len(window) > 8:
+            drain_one()
+    while window:
+        drain_one()
     dt = time.perf_counter() - t0
     if logger:
         logger.info("validate: %d instances in %.1fs (%.1f img/s)",
