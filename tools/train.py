@@ -25,6 +25,10 @@ def parse_args():
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--max-epochs", type=int, default=None,
                    help="cap END_EPOCH (smoke runs)")
+    p.add_argument("--eval-every", type=int, default=1,
+                   help="validate every N epochs")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax_debug_nans (dev mode)")
     p.add_argument("opts", nargs=argparse.REMAINDER,
                    help="KEY VALUE config override pairs")
     return p.parse_args()
@@ -37,13 +41,17 @@ def main():
         cfg.DATASET.ROOT = args.dataDir
     logger, output_dir, tb_dir = create_logger(cfg, args.cfg, "train")
     logger.info("config: %s", cfg)
+    if args.debug_nans:
+        from rsgnet_tpu.utils.profiler import enable_nan_checks
+        enable_nan_checks(True)
 
     model = get_pose_net(cfg)
     train_ds = get_dataset(cfg, is_train=True)
     val_ds = get_dataset(cfg, is_train=False)
     state, best = fit(cfg, model, train_ds, val_ds, output_dir=output_dir,
                       logger=logger, num_workers=args.workers,
-                      max_epochs=args.max_epochs, tb_dir=tb_dir)
+                      max_epochs=args.max_epochs, tb_dir=tb_dir,
+                      eval_every=args.eval_every)
     logger.info("done; best perf %.4f", best)
 
 
