@@ -134,6 +134,45 @@ def test_crowdpose_index_ranges():
     assert stats["AP (hard)"] == pytest.approx(1.0)
 
 
+def test_detection_matching_crowd_gt_is_ignored_not_fp():
+    """A detection overlapping only an ignored (crowd) gt must be ignored,
+    not counted as a false positive (pycocotools ignore semantics)."""
+    crowd = make_person(1, 1, 200, 200, 100, 200, iscrowd=1)
+    real = make_person(2, 1, 450, 250, 100, 200)
+    ds = {"images": [{"id": 1, "width": 640, "height": 480,
+                      "file_name": "x.jpg"}],
+          "annotations": [crowd, real],
+          "categories": [{"id": 1, "name": "person"}]}
+    res = perfect_results(ds)                  # only the real person
+    # add a detection sitting exactly on the crowd region, high score
+    kp = list(crowd["keypoints"])
+    kp[2::3] = [1.0] * (len(kp) // 3)
+    res.append({"image_id": 1, "category_id": 1, "keypoints": kp,
+                "score": 0.99})
+    stats = run_eval(ds, res)
+    # crowd-matched det ignored -> precision/recall unaffected
+    assert stats["AP"] == pytest.approx(1.0)
+    assert stats["AR"] == pytest.approx(1.0)
+
+
+def test_crowd_gt_allows_multiple_detections():
+    """iscrowd gts may absorb multiple detections (gtm check skipped)."""
+    crowd = make_person(1, 1, 200, 200, 120, 240, iscrowd=1)
+    real = make_person(2, 1, 460, 250, 100, 200)
+    ds = {"images": [{"id": 1, "width": 640, "height": 480,
+                      "file_name": "x.jpg"}],
+          "annotations": [crowd, real],
+          "categories": [{"id": 1, "name": "person"}]}
+    res = perfect_results(ds)
+    kp = list(crowd["keypoints"])
+    kp[2::3] = [1.0] * (len(kp) // 3)
+    for ds_score in (0.98, 0.97):              # two dets on the crowd
+        res.append({"image_id": 1, "category_id": 1,
+                    "keypoints": list(kp), "score": ds_score})
+    stats = run_eval(ds, res)
+    assert stats["AP"] == pytest.approx(1.0)
+
+
 def test_maxdets_cap():
     """Detections beyond maxDets are dropped (worst-scored first)."""
     ds = make_dataset()
