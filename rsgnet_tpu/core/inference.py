@@ -74,7 +74,9 @@ def make_e2e_fn(cfg: Config, model, src_size, jit=True, mesh=None):
     def fn(variables, raw_images, centers, scales):
         rot = jnp.zeros(centers.shape[0], jnp.float32)
         trans = get_affine_transform_jax(centers, scales, rot, image_size)
-        inputs = crop_and_normalize(raw_images, trans, image_size)
+        # eval crops are rotation-free -> the separable MXU sampler applies
+        inputs = crop_and_normalize(raw_images, trans, image_size,
+                                    separable=True)
         apply_fn = lambda v, x: model.apply(v, x, train=False)
         output = heatmaps_with_flip_test(apply_fn, variables, inputs, cfg, perm)
         preds, maxvals = get_final_preds_jax(

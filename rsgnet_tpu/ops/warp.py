@@ -104,6 +104,46 @@ def affine_warp_batch(images, trans, out_size):
     return jax.vmap(lambda im, t: affine_warp(im, t, out_size))(images, trans)
 
 
+def _bilinear_resample_matrix(starts, steps, out_n, src_n):
+    """Batched (out_n, src_n) bilinear row-weight matrices on device.
+
+    Row i holds the two-tap bilinear weights for source coordinate
+    ``starts + i * steps`` (per batch element): W[i, u] = max(0, 1 - |c_i - u|)
+    for u in [0, src_n); coordinates outside the source get all-zero rows —
+    BORDER_CONSTANT(0), identical to the gather sampler.
+    """
+    i = jax.lax.broadcasted_iota(jnp.float32, (out_n, src_n), 0)
+    u = jax.lax.broadcasted_iota(jnp.float32, (out_n, src_n), 1)
+    coords = starts[:, None, None] + i * steps[:, None, None]   # (B, O, S)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(coords - u))
+
+
+def separable_warp_batch(images, trans, out_size):
+    """Axis-separable affine warp for rotation-free transforms — two MXU
+    matmuls instead of a 4-tap gather (SURVEY.md §7(7): the eval-path warp is
+    gather-bound on TPU; rot=0 crops, i.e. ALL eval crops, are separable).
+
+    Requires trans with zero cross terms (trans[:,0,1] == trans[:,1,0] == 0 —
+    true for every ``get_affine_transform(center, scale, rot=0)``).
+    images: (N, H, W, C) any dtype; returns (N, out_h, out_w, C) float32,
+    numerically equal to ``affine_warp_batch`` up to matmul accumulation
+    order.
+    """
+    out_w, out_h = int(out_size[0]), int(out_size[1])
+    inv = invert_affine(jnp.asarray(trans, jnp.float32))
+    # src_x = inv[0,0]*dst_x + inv[0,2];  src_y = inv[1,1]*dst_y + inv[1,2]
+    src_h, src_w = images.shape[1], images.shape[2]
+    wx = _bilinear_resample_matrix(inv[:, 0, 2], inv[:, 0, 0], out_w, src_w)
+    wy = _bilinear_resample_matrix(inv[:, 1, 2], inv[:, 1, 1], out_h, src_h)
+    img = jnp.asarray(images, jnp.float32)
+    # (B, out_h, src_w, C) then (B, out_h, out_w, C); HIGHEST keeps the fp32
+    # path exact enough that parity with the gather sampler is ~1e-3/255
+    tmp = jnp.einsum("bhs,bswc->bhwc", wy, img,
+                     precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("bxw,bhwc->bhxc", wx, tmp,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 # ImageNet normalization constants used by the whole HRNet family (RGB).
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
@@ -116,7 +156,7 @@ def normalize_image(image, mean=IMAGENET_MEAN, std=IMAGENET_STD):
     return (image / 255.0 - mean) / std
 
 
-def crop_and_normalize(images, trans, out_size, flip=None):
+def crop_and_normalize(images, trans, out_size, flip=None, separable=False):
     """The fused preprocessing kernel: warp -> (optional hflip) -> normalize.
 
     Args:
@@ -126,11 +166,14 @@ def crop_and_normalize(images, trans, out_size, flip=None):
       flip: optional (N,) bool — horizontally flip the *cropped* output.
         (Training flips are folded into ``trans`` instead; this flag serves
         flip-test inference where the unflipped crop is also needed.)
+      separable: use the MXU matmul sampler — valid ONLY for rotation-free
+        transforms (all eval crops); much faster than the gather on TPU.
 
     Returns:
       (N, out_h, out_w, 3) float32 normalized inputs.
     """
-    crops = affine_warp_batch(jnp.asarray(images), trans, out_size)
+    warp = separable_warp_batch if separable else affine_warp_batch
+    crops = warp(jnp.asarray(images), trans, out_size)
     if flip is not None:
         flipped = crops[:, :, ::-1, :]
         crops = jnp.where(flip[:, None, None, None], flipped, crops)
