@@ -39,13 +39,21 @@ def heatmaps_with_flip_test(apply_fn, variables, images, cfg: Config, perm):
     return output
 
 
-def make_inference_fn(cfg: Config, model, jit=True):
-    """Crops -> image-space keypoints, honoring TEST.* config."""
+def make_inference_fn(cfg: Config, model, jit=True, normalize_input=False):
+    """Crops -> image-space keypoints, honoring TEST.* config.
+
+    ``normalize_input=True`` accepts raw uint8 crops and applies the
+    ImageNet normalization on device (host-crop eval pipeline); otherwise
+    images must already be normalized float inputs.
+    """
     spec = get_spec(cfg.DATASET.DATASET)
     perm = jnp.asarray(spec.flip_perm)
     use_dark = cfg.TEST.DECODE.lower() == "dark"
 
     def fn(variables, images, centers, scales):
+        if normalize_input:
+            from rsgnet_tpu.ops.warp import normalize_image
+            images = normalize_image(jnp.asarray(images, jnp.float32))
         apply_fn = lambda v, x: model.apply(v, x, train=False)
         output = heatmaps_with_flip_test(apply_fn, variables, images, cfg, perm)
         preds, maxvals = get_final_preds_jax(

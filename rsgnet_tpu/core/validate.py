@@ -21,18 +21,41 @@ from rsgnet_tpu.data.loader import BatchLoader, device_prefetch
 
 def validate(cfg: Config, dataset, model, variables,
              batch_size: int | None = None, output_dir: str | None = None,
-             num_workers: int = 8, logger=None, mesh=None):
+             num_workers: int = 8, logger=None, mesh=None,
+             pipeline: str = "device"):
     """Returns (name_value OrderedDict, AP). Mirrors reference validate().
 
     With ``mesh`` (a 1-D data mesh) the batch is sharded over the chips and
     params replicated — data-parallel eval, the reference DataParallel
     validate analogue. Batch size scales per chip.
+
+    pipeline:
+      "device" — ship padded uint8 canvases; crop/warp fused on device (the
+        BASELINE design; best when host<->device bandwidth is PCIe-class).
+      "host"   — reference-style cv2 crop on host threads, ship only the
+        model-input-sized uint8 crops (8x less transfer; best on
+        bandwidth-constrained links — see BENCH_NOTES.md).
     """
     n_dev = mesh.size if mesh is not None else 1
     batch_size = (batch_size or cfg.TEST.BATCH_SIZE_PER_GPU) * n_dev
+    host_crop = pipeline == "host"
     loader = BatchLoader(dataset, batch_size, shuffle=False,
-                         num_workers=num_workers, pad_last=True)
-    infer = make_e2e_fn(cfg, model, dataset.src_size, mesh=mesh)
+                         num_workers=num_workers, pad_last=True,
+                         cropped=host_crop)
+    if host_crop:
+        from rsgnet_tpu.core.inference import make_inference_fn
+        infer = make_inference_fn(cfg, model, jit=(mesh is None),
+                                  normalize_input=True)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            repl = NamedSharding(mesh, P())
+            shard = NamedSharding(mesh, P(cfg.MESH_DATA_AXIS))
+            infer = jax.jit(infer, in_shardings=(repl, shard, shard, shard),
+                            out_shardings=(shard, shard))
+        image_key = "input"
+    else:
+        infer = make_e2e_fn(cfg, model, dataset.src_size, mesh=mesh)
+        image_key = "image"
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
         variables = jax.device_put(variables, NamedSharding(mesh, P()))
@@ -71,9 +94,8 @@ def validate(cfg: Config, dataset, model, variables,
 
     for batch in device_prefetch(iter(loader), sharding=batch_sharding):
         nv = int(batch["num_valid"])
-        # uint8 canvases go to the device as-is; the fused warp gathers in
-        # uint8 and casts taps (4x less H2D + HBM traffic)
-        preds, maxvals = infer(variables, batch["image"],
+        # uint8 images go to the device as-is; casts happen on device
+        preds, maxvals = infer(variables, batch[image_key],
                                batch["center"], batch["scale"])
         window.append((nv, preds, maxvals, batch["center"], batch["scale"],
                        batch["score"], batch["image_id"]))

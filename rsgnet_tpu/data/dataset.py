@@ -79,8 +79,39 @@ class TopDownDataset:
             "image_id": np.int64(rec["image_id"]),
         }
 
-    def collate(self, indices) -> Dict[str, np.ndarray]:
-        samples = [self.load_sample(i) for i in indices]
+    def load_sample_cropped(self, idx: int) -> Dict[str, np.ndarray]:
+        """Reference-style host pipeline: crop/warp to MODEL.IMAGE_SIZE on
+        the host (cv2.warpAffine when available, else the NumPy-oracle
+        sampler) and ship only the (H, W, 3) uint8 crop — 8x less transfer
+        than the padded canvas. Normalization stays fused on device.
+        """
+        rec = self.db[idx]
+        img = read_image(rec["image_path"], color_rgb=self.color_rgb)
+        center = rec["center"].astype(np.float32)
+        scale = rec["scale"].astype(np.float32)
+        from rsgnet_tpu.ops.affine import get_affine_transform
+        size = tuple(self.cfg.MODEL.IMAGE_SIZE)              # (w, h)
+        trans = get_affine_transform(center, scale, 0.0, size)
+        try:
+            import cv2
+            crop = cv2.warpAffine(img, trans, size, flags=cv2.INTER_LINEAR)
+        except ImportError:
+            import jax.numpy as jnp
+            from rsgnet_tpu.ops.warp import affine_warp
+            crop = np.asarray(affine_warp(jnp.asarray(img),
+                                          jnp.asarray(trans),
+                                          size)).astype(np.uint8)
+        return {
+            "input": np.ascontiguousarray(crop, dtype=np.uint8),
+            "center": center,
+            "scale": scale,
+            "score": np.float32(rec.get("score", 1.0)),
+            "image_id": np.int64(rec["image_id"]),
+        }
+
+    def collate(self, indices, cropped: bool = False) -> Dict[str, np.ndarray]:
+        load = self.load_sample_cropped if cropped else self.load_sample
+        samples = [load(i) for i in indices]
         return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
 
     # -- evaluation contract ------------------------------------------------

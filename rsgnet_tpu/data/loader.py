@@ -22,7 +22,8 @@ class BatchLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle=False,
                  drop_last=False, num_workers: int = 8, seed: int = 0,
-                 lookahead: int = 4, pad_last: bool = True):
+                 lookahead: int = 4, pad_last: bool = True,
+                 cropped: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -31,6 +32,7 @@ class BatchLoader:
         self.seed = seed
         self.lookahead = lookahead
         self.pad_last = pad_last
+        self.cropped = cropped        # host-side crop pipeline (eval)
         self.epoch = 0
 
     def __len__(self):
@@ -63,16 +65,17 @@ class BatchLoader:
         batches = self._index_batches()
         self.epoch += 1
         window = self.lookahead + self.num_workers   # bounded decode-ahead
+        collate = (lambda b: self.dataset.collate(b, cropped=True)) \
+            if self.cropped else self.dataset.collate
         with ThreadPoolExecutor(self.num_workers) as pool:
             pending = []
             for b, _ in batches[:window]:
-                pending.append(pool.submit(self.dataset.collate, b))
+                pending.append(pool.submit(collate, b))
             for i, (b, real) in enumerate(batches):
                 batch = pending[i].result()
                 nxt = i + window
                 if nxt < len(batches):
-                    pending.append(
-                        pool.submit(self.dataset.collate, batches[nxt][0]))
+                    pending.append(pool.submit(collate, batches[nxt][0]))
                 batch["num_valid"] = np.int32(real)
                 pending[i] = None            # release decoded batch memory
                 yield batch

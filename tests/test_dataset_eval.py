@@ -107,6 +107,36 @@ def test_validate_end_to_end_runs(fixture_root):
     assert 0.0 <= name_value["AR"] <= 1.0 or name_value["AR"] == -1.0
 
 
+def test_validate_host_crop_pipeline(fixture_root):
+    """pipeline='host' (reference-style cv2 host crop) returns the same AP
+    structure and near-identical predictions to the device-warp pipeline."""
+    import jax
+    from rsgnet_tpu.core.validate import validate
+    from rsgnet_tpu.models import get_pose_net
+
+    cfg = make_cfg()
+    ds = build(cfg, fixture_root)
+    model = get_pose_net(cfg)
+    h, w = cfg.MODEL.IMAGE_SIZE[1], cfg.MODEL.IMAGE_SIZE[0]
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, h, w, 3), np.float32), train=False)
+    nv_dev, ap_dev = validate(cfg, ds, model, variables, batch_size=4)
+    nv_host, ap_host = validate(cfg, ds, model, variables, batch_size=4,
+                                pipeline="host")
+    assert set(nv_host.keys()) == set(nv_dev.keys())
+    # same untrained model, same crops up to warp-backend rounding
+    assert ap_host == pytest.approx(ap_dev, abs=0.05)
+
+
+def test_host_crop_sample(fixture_root):
+    cfg = make_cfg()
+    ds = build(cfg, fixture_root)
+    s = ds.load_sample_cropped(0)
+    h, w = cfg.MODEL.IMAGE_SIZE[1], cfg.MODEL.IMAGE_SIZE[0]
+    assert s["input"].shape == (h, w, 3)
+    assert s["input"].dtype == np.uint8
+
+
 def test_validate_sharded_over_mesh(fixture_root):
     """Data-parallel eval over the virtual 8-device mesh."""
     import jax
