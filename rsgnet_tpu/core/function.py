@@ -135,6 +135,13 @@ def fit(cfg: Config, model, train_dataset, val_dataset=None,
                         begin_epoch, best_perf)
 
     writer = _make_tb_writer(tb_dir)
+    # build the eval function ONCE — per-epoch rebuilds would retrace and
+    # recompile the whole inference program every epoch
+    val_infer = None
+    if val_dataset is not None:
+        from rsgnet_tpu.core.validate import make_validate_infer_fn
+        val_infer, _ = make_validate_infer_fn(cfg, model, val_dataset,
+                                              mesh=mesh)
     end_epoch = min(cfg.TRAIN.END_EPOCH, max_epochs or cfg.TRAIN.END_EPOCH)
     rng = jax.random.PRNGKey(begin_epoch + 1)
     for epoch in range(begin_epoch, end_epoch):
@@ -150,7 +157,8 @@ def fit(cfg: Config, model, train_dataset, val_dataset=None,
                          "batch_stats": state.batch_stats}
             _, perf = validate(cfg, val_dataset, model, variables,
                                output_dir=output_dir, logger=logger,
-                               num_workers=num_workers, mesh=mesh)
+                               num_workers=num_workers, mesh=mesh,
+                               infer_fn=val_infer)
         # best is only meaningful on epochs that actually evaluated
         is_best = validated and perf >= best_perf
         best_perf = max(best_perf, perf)

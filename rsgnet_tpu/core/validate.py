@@ -19,10 +19,32 @@ from rsgnet_tpu.core.inference import make_e2e_fn
 from rsgnet_tpu.data.loader import BatchLoader, device_prefetch
 
 
+def make_validate_infer_fn(cfg: Config, model, dataset, mesh=None,
+                           pipeline: str = "device"):
+    """Build the jitted per-batch eval function once; pass to ``validate``
+    via ``infer_fn`` to avoid re-tracing/compiling on every call (the epoch
+    loop would otherwise recompile per epoch — minutes on remote backends).
+
+    Returns (infer_fn, image_key).
+    """
+    if pipeline == "host":
+        from rsgnet_tpu.core.inference import make_inference_fn
+        infer = make_inference_fn(cfg, model, jit=(mesh is None),
+                                  normalize_input=True)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            repl = NamedSharding(mesh, P())
+            shard = NamedSharding(mesh, P(cfg.MESH_DATA_AXIS))
+            infer = jax.jit(infer, in_shardings=(repl, shard, shard, shard),
+                            out_shardings=(shard, shard))
+        return infer, "input"
+    return make_e2e_fn(cfg, model, dataset.src_size, mesh=mesh), "image"
+
+
 def validate(cfg: Config, dataset, model, variables,
              batch_size: int | None = None, output_dir: str | None = None,
              num_workers: int = 8, logger=None, mesh=None,
-             pipeline: str = "device"):
+             pipeline: str = "device", infer_fn=None):
     """Returns (name_value OrderedDict, AP). Mirrors reference validate().
 
     With ``mesh`` (a 1-D data mesh) the batch is sharded over the chips and
@@ -42,20 +64,13 @@ def validate(cfg: Config, dataset, model, variables,
     loader = BatchLoader(dataset, batch_size, shuffle=False,
                          num_workers=num_workers, pad_last=True,
                          cropped=host_crop)
-    if host_crop:
-        from rsgnet_tpu.core.inference import make_inference_fn
-        infer = make_inference_fn(cfg, model, jit=(mesh is None),
-                                  normalize_input=True)
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            repl = NamedSharding(mesh, P())
-            shard = NamedSharding(mesh, P(cfg.MESH_DATA_AXIS))
-            infer = jax.jit(infer, in_shardings=(repl, shard, shard, shard),
-                            out_shardings=(shard, shard))
-        image_key = "input"
+    if infer_fn is not None:
+        infer = infer_fn
+        image_key = "input" if host_crop else "image"
     else:
-        infer = make_e2e_fn(cfg, model, dataset.src_size, mesh=mesh)
-        image_key = "image"
+        infer, image_key = make_validate_infer_fn(cfg, model, dataset,
+                                                  mesh=mesh,
+                                                  pipeline=pipeline)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
         variables = jax.device_put(variables, NamedSharding(mesh, P()))
