@@ -132,8 +132,13 @@ def get_final_preds_jax(heatmaps_nhwc, center, scale, *,
     """
     if use_dark and use_pallas:
         from rsgnet_tpu.ops.pallas import dark_decode_pallas
+        # Mosaic compiles on TPU backends (incl. tunneled ones, e.g. 'axon');
+        # the CPU backend runs the kernel in interpret mode (bit-identical,
+        # slower — tests/CPU CI)
+        interpret = jax.default_backend() == "cpu"
         coords, maxvals = dark_decode_pallas(heatmaps_nhwc,
-                                             blur_kernel=blur_kernel)
+                                             blur_kernel=blur_kernel,
+                                             interpret=interpret)
     else:
         coords, maxvals = get_max_preds_jax(heatmaps_nhwc)
         if use_dark:
