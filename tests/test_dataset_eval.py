@@ -156,6 +156,25 @@ def test_validate_sharded_over_mesh(fixture_root):
     assert np.isfinite(ap)
 
 
+def test_validate_deterministic(fixture_root):
+    """Two validate() runs on the same weights give identical AP (no
+    nondeterminism in loaders, NMS ordering, or eval accumulation)."""
+    import jax
+    from rsgnet_tpu.core.validate import validate
+    from rsgnet_tpu.models import get_pose_net
+
+    cfg = make_cfg()
+    ds = build(cfg, fixture_root)
+    model = get_pose_net(cfg)
+    h, w = cfg.MODEL.IMAGE_SIZE[1], cfg.MODEL.IMAGE_SIZE[0]
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, h, w, 3), np.float32), train=False)
+    nv1, ap1 = validate(cfg, ds, model, variables, batch_size=2)
+    nv2, ap2 = validate(cfg, ds, model, variables, batch_size=3)
+    assert ap1 == ap2
+    assert dict(nv1) == dict(nv2)
+
+
 def test_crowdpose_dataset(tmp_path):
     """CrowdPose layout + 14 joints + crowd-index AP splits."""
     import json

@@ -40,3 +40,13 @@ def test_shuffle_determinism(ds):
 def test_multi_epoch(ds):
     loader = make_grain_loader(ds, batch_size=len(ds), num_epochs=3)
     assert len(list(loader)) == 3
+
+
+def test_multiprocess_workers(ds):
+    """worker_count > 0: _SampleMap + dataset must survive pickling into
+    grain's worker processes."""
+    loader = make_grain_loader(ds, batch_size=2, worker_count=2,
+                               drop_remainder=True)
+    batches = list(loader)
+    assert len(batches) == len(ds) // 2
+    assert batches[0]["image"].shape == (2, *ds.src_size, 3)
