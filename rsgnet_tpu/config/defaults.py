@@ -138,6 +138,7 @@ class TestConfig:
     BLUR_KERNEL: int = 11
     DECODE: str = "default"          # "default" (quarter-offset) | "dark"
     PALLAS_DECODE: bool = False      # fused Pallas DARK kernel (TPU-only)
+    DEVICE_NMS: bool = False         # whole-dataset OKS-NMS as ONE device call
 
 
 @dataclass

@@ -148,8 +148,8 @@ class COCODataset(TopDownDataset):
 
         in_vis_thre = self.cfg.TEST.IN_VIS_THRE
         oks_thre = self.cfg.TEST.OKS_THRE
-        kept = []
-        for img_id, img_kpts in per_image.items():
+        image_groups = list(per_image.values())
+        for img_kpts in image_groups:
             for p in img_kpts:
                 box_score = p["score"]
                 kscores = p["keypoints"][:, 2]
@@ -157,12 +157,27 @@ class COCODataset(TopDownDataset):
                 kpt_score = (float(kscores[valid].sum() / valid.sum())
                              if valid.any() else 0.0)
                 p["score"] = kpt_score * box_score
-            if self.cfg.TEST.SOFT_NMS:
-                keep, _ = soft_oks_nms_np(img_kpts, oks_thre, self.spec.sigmas)
-            else:
-                keep = oks_nms_np(img_kpts, oks_thre, self.spec.sigmas)
-            kept.append(img_kpts if len(keep) == 0
-                        else [img_kpts[k] for k in keep])
+
+        kept = []
+        if self.cfg.TEST.DEVICE_NMS and not self.cfg.TEST.SOFT_NMS:
+            # vectorized device kernel: every image's suppression in ONE call
+            from rsgnet_tpu.ops.nms import batched_oks_nms_jax
+            keeps = batched_oks_nms_jax(
+                [np.stack([p["keypoints"] for p in g]) for g in image_groups],
+                [np.asarray([p["score"] for p in g]) for g in image_groups],
+                [np.asarray([p["area"] for p in g]) for g in image_groups],
+                self.spec.sigmas, oks_thre)
+            for g, keep in zip(image_groups, keeps):
+                kept.append(g if len(keep) == 0 else [g[k] for k in keep])
+        else:
+            for img_kpts in image_groups:
+                if self.cfg.TEST.SOFT_NMS:
+                    keep, _ = soft_oks_nms_np(img_kpts, oks_thre,
+                                              self.spec.sigmas)
+                else:
+                    keep = oks_nms_np(img_kpts, oks_thre, self.spec.sigmas)
+                kept.append(img_kpts if len(keep) == 0
+                            else [img_kpts[k] for k in keep])
 
         results = self._results_json(kept)
         if output_dir:

@@ -166,6 +166,44 @@ def oks_nms_jax(kpts, scores, areas, sigmas, thresh, valid=None,
     return keep
 
 
+def batched_oks_nms_jax(kpts_per_image, scores_per_image, areas_per_image,
+                        sigmas, thresh, in_vis_thre=None, pad_to=None):
+    """Whole-dataset OKS-NMS in ONE device call (BASELINE.json:5 "OKS-NMS
+    become vectorized device kernels").
+
+    Args:
+      kpts_per_image: list of (m_i, K, 3) arrays (variable m_i per image).
+      scores/areas_per_image: lists of (m_i,) arrays.
+      pad_to: static instance capacity per image (default: max m_i).
+
+    Returns: list of kept-index arrays (ascending original order per image).
+    """
+    import numpy as onp
+    n = len(kpts_per_image)
+    if n == 0:
+        return []
+    k = kpts_per_image[0].shape[1]
+    m = int(pad_to or max(x.shape[0] for x in kpts_per_image))
+    kpts = onp.zeros((n, m, k, 3), onp.float32)
+    scores = onp.zeros((n, m), onp.float32)
+    areas = onp.ones((n, m), onp.float32)
+    valid = onp.zeros((n, m), bool)
+    for i, (kp, sc, ar) in enumerate(zip(kpts_per_image, scores_per_image,
+                                         areas_per_image)):
+        mi = kp.shape[0]
+        kpts[i, :mi] = kp
+        scores[i, :mi] = sc
+        areas[i, :mi] = ar
+        valid[i, :mi] = True
+
+    nms = jax.vmap(lambda kp, sc, ar, va: oks_nms_jax(
+        kp, sc, ar, sigmas, thresh, valid=va, in_vis_thre=in_vis_thre))
+    keep = np.asarray(jax.jit(nms)(jnp.asarray(kpts), jnp.asarray(scores),
+                                   jnp.asarray(areas), jnp.asarray(valid)))
+    return [onp.where(keep[i, :kpts_per_image[i].shape[0]])[0]
+            for i in range(n)]
+
+
 def soft_oks_nms_jax(kpts, scores, areas, sigmas, thresh, valid=None,
                      in_vis_thre=None, max_dets=20):
     """Soft OKS-NMS with gaussian decay, fixed iterations, on device.

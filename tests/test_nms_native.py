@@ -60,6 +60,57 @@ def test_cpp_matches_jax_device_kernel():
     assert sorted(np.where(keep_mask)[0].tolist()) == keep_cpp
 
 
+@pytest.mark.parametrize("seed", range(3))
+def test_batched_device_nms_matches_per_image_oracle(seed):
+    """batched_oks_nms_jax (one device call, padded) == per-image NumPy
+    greedy, across variable instance counts."""
+    from rsgnet_tpu.ops.nms import batched_oks_nms_jax
+    rng = np.random.RandomState(seed)
+    groups = []
+    for m in (1, 3, 7, 12):
+        groups.append(random_db(m, seed=seed * 10 + m,
+                                spread=40.0 if m % 2 else 140.0))
+    kpts = [np.stack([np.asarray(d["keypoints"], np.float32) for d in g])
+            for g in groups]
+    scores = [np.asarray([d["score"] for d in g], np.float32) for g in groups]
+    areas = [np.asarray([d["area"] for d in g], np.float32) for g in groups]
+    keeps = batched_oks_nms_jax(kpts, scores, areas, SIGMAS, 0.9)
+    for g, keep in zip(groups, keeps):
+        want = sorted(oks_nms_np(g, 0.9, SIGMAS))
+        assert sorted(keep.tolist()) == want
+
+
+def test_device_nms_in_dataset_evaluate(tmp_path):
+    """TEST.DEVICE_NMS end-to-end through COCODataset.evaluate: same AP as
+    the host path."""
+    import json, os
+    from rsgnet_tpu.config.defaults import tiny_rsgnet
+    from rsgnet_tpu.data import get_dataset
+    from tests.fixtures.synthetic_coco import make_dataset, write_fixture
+    root = str(tmp_path)
+    ds_dict = make_dataset()
+    write_fixture(root, ds_dict)
+    cfg = tiny_rsgnet()
+    cfg.MODEL.NUM_JOINTS = 17
+    ds = get_dataset(cfg, root=root, image_set="val", is_train=False)
+    n, k = len(ds), ds.num_joints
+    preds = np.zeros((n, k, 3), np.float32)
+    boxes = np.zeros((n, 6), np.float32)
+    ids = np.zeros((n,), np.int64)
+    for i, rec in enumerate(ds.db):
+        preds[i, :, :2] = rec["joints"][:, :2] + i * 0.5
+        preds[i, :, 2] = rec["joints_vis"][:, 0]
+        boxes[i, 0:2] = rec["center"]
+        boxes[i, 2:4] = rec["scale"]
+        boxes[i, 4] = np.prod(rec["scale"] * 200.0)
+        boxes[i, 5] = 1.0
+        ids[i] = rec["image_id"]
+    _, ap_host = ds.evaluate(preds, boxes, ids)
+    cfg.TEST.DEVICE_NMS = True
+    _, ap_dev = ds.evaluate(preds, boxes, ids)
+    assert ap_dev == ap_host
+
+
 def test_duplicate_suppression():
     db = random_db(1, seed=0)
     db[0]["score"] = 0.9
