@@ -140,8 +140,8 @@ def fit(cfg: Config, model, train_dataset, val_dataset=None,
     val_infer = None
     if val_dataset is not None:
         from rsgnet_tpu.core.validate import make_validate_infer_fn
-        val_infer, _ = make_validate_infer_fn(cfg, model, val_dataset,
-                                              mesh=mesh)
+        val_infer = make_validate_infer_fn(cfg, model, val_dataset,
+                                           mesh=mesh)
     end_epoch = min(cfg.TRAIN.END_EPOCH, max_epochs or cfg.TRAIN.END_EPOCH)
     rng = jax.random.PRNGKey(begin_epoch + 1)
     for epoch in range(begin_epoch, end_epoch):

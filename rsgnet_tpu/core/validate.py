@@ -65,8 +65,14 @@ def validate(cfg: Config, dataset, model, variables,
                          num_workers=num_workers, pad_last=True,
                          cropped=host_crop)
     if infer_fn is not None:
-        infer = infer_fn
-        image_key = "input" if host_crop else "image"
+        # infer_fn is the (fn, image_key) pair from make_validate_infer_fn —
+        # bundling prevents silently pairing a host-crop fn with canvas
+        # batches (or vice versa)
+        infer, image_key = infer_fn
+        expected = "input" if host_crop else "image"
+        assert image_key == expected, (
+            f"infer_fn was built for image_key={image_key!r} but "
+            f"pipeline={pipeline!r} ships {expected!r} batches")
     else:
         infer, image_key = make_validate_infer_fn(cfg, model, dataset,
                                                   mesh=mesh,

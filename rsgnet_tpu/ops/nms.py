@@ -16,6 +16,8 @@ the C++ host fallback (the native-code analogue of the reference's Cython).
 """
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -166,6 +168,17 @@ def oks_nms_jax(kpts, scores, areas, sigmas, thresh, valid=None,
     return keep
 
 
+@functools.lru_cache(maxsize=4)
+def _batched_nms_jit(in_vis_thre):
+    """Module-level cached jit — fresh closures per call would retrace and
+    recompile the whole-dataset NMS program on every evaluate()."""
+    def f(kpts, scores, areas, valid, sigmas, thresh):
+        return jax.vmap(lambda kp, sc, ar, va: oks_nms_jax(
+            kp, sc, ar, sigmas, thresh, valid=va,
+            in_vis_thre=in_vis_thre))(kpts, scores, areas, valid)
+    return jax.jit(f)
+
+
 def batched_oks_nms_jax(kpts_per_image, scores_per_image, areas_per_image,
                         sigmas, thresh, in_vis_thre=None, pad_to=None):
     """Whole-dataset OKS-NMS in ONE device call (BASELINE.json:5 "OKS-NMS
@@ -178,16 +191,15 @@ def batched_oks_nms_jax(kpts_per_image, scores_per_image, areas_per_image,
 
     Returns: list of kept-index arrays (ascending original order per image).
     """
-    import numpy as onp
     n = len(kpts_per_image)
     if n == 0:
         return []
     k = kpts_per_image[0].shape[1]
     m = int(pad_to or max(x.shape[0] for x in kpts_per_image))
-    kpts = onp.zeros((n, m, k, 3), onp.float32)
-    scores = onp.zeros((n, m), onp.float32)
-    areas = onp.ones((n, m), onp.float32)
-    valid = onp.zeros((n, m), bool)
+    kpts = np.zeros((n, m, k, 3), np.float32)
+    scores = np.zeros((n, m), np.float32)
+    areas = np.ones((n, m), np.float32)
+    valid = np.zeros((n, m), bool)
     for i, (kp, sc, ar) in enumerate(zip(kpts_per_image, scores_per_image,
                                          areas_per_image)):
         mi = kp.shape[0]
@@ -196,11 +208,12 @@ def batched_oks_nms_jax(kpts_per_image, scores_per_image, areas_per_image,
         areas[i, :mi] = ar
         valid[i, :mi] = True
 
-    nms = jax.vmap(lambda kp, sc, ar, va: oks_nms_jax(
-        kp, sc, ar, sigmas, thresh, valid=va, in_vis_thre=in_vis_thre))
-    keep = np.asarray(jax.jit(nms)(jnp.asarray(kpts), jnp.asarray(scores),
-                                   jnp.asarray(areas), jnp.asarray(valid)))
-    return [onp.where(keep[i, :kpts_per_image[i].shape[0]])[0]
+    nms = _batched_nms_jit(in_vis_thre)
+    keep = np.asarray(nms(jnp.asarray(kpts), jnp.asarray(scores),
+                          jnp.asarray(areas), jnp.asarray(valid),
+                          jnp.asarray(sigmas, jnp.float32),
+                          jnp.float32(thresh)))
+    return [np.where(keep[i, :kpts_per_image[i].shape[0]])[0]
             for i in range(n)]
 
 
