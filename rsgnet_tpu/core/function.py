@@ -43,6 +43,7 @@ def train_one_epoch(step_fn, state, loader, rng, epoch, shard, logger=None,
         batch.pop("num_valid", None)
         batch.pop("image_id", None)
         batch.pop("score", None)
+        batch.pop("factor", None)    # eval-only: targets live in crop space
         rng, sub = jax.random.split(rng)
         state, metrics = step_fn(state, batch, sub)
         bs = batch["image"].shape[0]

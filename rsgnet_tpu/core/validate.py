@@ -100,12 +100,17 @@ def validate(cfg: Config, dataset, model, variables,
 
     def drain_one():
         nonlocal seen
-        nv, preds, maxvals, c, s, score, img_id = window.pop(0)
+        nv, preds, maxvals, c, s, score, img_id, factor = window.pop(0)
         sl = slice(seen, seen + nv)
-        all_preds[sl, :, :2] = np.asarray(preds)[:nv]
+        # undo the canvas-fit downscale (dataset.load_sample): predictions
+        # were decoded in downscaled-image space; GT annotations live in
+        # original-image space
+        f = (np.ones((nv, 1), np.float32) if factor is None
+             else np.asarray(factor, np.float32)[:nv].reshape(-1, 1))
+        all_preds[sl, :, :2] = np.asarray(preds)[:nv] / f[:, :, None]
         all_preds[sl, :, 2:3] = np.asarray(maxvals)[:nv]
-        c = np.asarray(c)[:nv]
-        s = np.asarray(s)[:nv]
+        c = np.asarray(c)[:nv] / f
+        s = np.asarray(s)[:nv] / f
         all_boxes[sl, 0:2] = c
         all_boxes[sl, 2:4] = s
         all_boxes[sl, 4] = np.prod(s * 200.0, axis=1)
@@ -119,7 +124,8 @@ def validate(cfg: Config, dataset, model, variables,
         preds, maxvals = infer(variables, batch[image_key],
                                batch["center"], batch["scale"])
         window.append((nv, preds, maxvals, batch["center"], batch["scale"],
-                       batch["score"], batch["image_id"]))
+                       batch["score"], batch["image_id"],
+                       batch.get("factor")))
         if len(window) > 8:
             drain_one()
     while window:

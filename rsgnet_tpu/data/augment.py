@@ -43,7 +43,9 @@ def _half_body(key, joints, vis, spec: KeypointSpec, aspect_ratio,
     """Vectorized half-body transform (reference `half_body_transform`).
 
     Reference semantics reproduced exactly:
-    - upper half chosen when rand < 0.5 AND it has > 2 visible joints;
+    - upper half chosen when randn() < 0.5 (the HRNet-family quirk draws a
+      *normal*, so upper is picked ~69% of the time, not 50%) AND it has
+      > 2 visible joints;
       otherwise the lower half if IT has > 2; otherwise fall back to upper;
     - center = MEAN of the selected joints (not the box center);
     - box = joint extent, aspect-ratio-fixed, /200, * 1.5 padding;
@@ -60,7 +62,8 @@ def _half_body(key, joints, vis, spec: KeypointSpec, aspect_ratio,
     low = (~upper_mask) & (vis > 0)
     n_up = jnp.sum(up)
     n_low = jnp.sum(low)
-    use_upper = (jax.random.uniform(k_side) < 0.5) & (n_up > 2)
+    # reference: np.random.randn() < 0.5 — a NORMAL draw, so P(upper)≈0.69
+    use_upper = (jax.random.normal(k_side) < 0.5) & (n_up > 2)
     use_lower = (~use_upper) & (n_low > 2)
     sel = jnp.where(use_upper, up, jnp.where(use_lower, low, up))
     nsel = jnp.sum(sel)

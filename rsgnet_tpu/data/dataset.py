@@ -77,6 +77,10 @@ class TopDownDataset:
             "scale": scale,
             "score": np.float32(rec.get("score", 1.0)),
             "image_id": np.int64(rec["image_id"]),
+            # downscale applied to fit the canvas; eval must divide predicted
+            # coordinates (and center/scale) by it to return to original-image
+            # space — CrowdPose images routinely exceed 640px
+            "factor": np.float32(factor),
         }
 
     def load_sample_cropped(self, idx: int) -> Dict[str, np.ndarray]:
@@ -107,6 +111,7 @@ class TopDownDataset:
             "scale": scale,
             "score": np.float32(rec.get("score", 1.0)),
             "image_id": np.int64(rec["image_id"]),
+            "factor": np.float32(1.0),   # host crop never downscales
         }
 
     def collate(self, indices, cropped: bool = False) -> Dict[str, np.ndarray]:

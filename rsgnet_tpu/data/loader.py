@@ -87,6 +87,8 @@ def device_prefetch(iterator, sharding=None, size: int = 2):
     sentinel = object()
 
     def producer():
+        # a decode/device_put failure must surface in the consumer, not
+        # silently truncate the epoch
         try:
             for batch in iterator:
                 if sharding is not None:
@@ -98,7 +100,9 @@ def device_prefetch(iterator, sharding=None, size: int = 2):
                                  if isinstance(v, np.ndarray) else v)
                              for k, v in batch.items()}
                 q.put(batch)
-        finally:
+        except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+            q.put(e)
+        else:
             q.put(sentinel)
 
     t = threading.Thread(target=producer, daemon=True)
@@ -107,4 +111,6 @@ def device_prefetch(iterator, sharding=None, size: int = 2):
         item = q.get()
         if item is sentinel:
             return
+        if isinstance(item, BaseException):
+            raise item
         yield item

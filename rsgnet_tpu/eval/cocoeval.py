@@ -50,6 +50,15 @@ class KeypointEval:
         self.stats: dict = {}
         self._eval_imgs = None
 
+    def _area(self, ann):
+        """OKS normalization area. With ``use_area`` (COCO) the segmentation
+        area; otherwise (CrowdPose — annotations carry no segmentation) the
+        crowdpose-api convention 0.53 * bbox_w * bbox_h. Omitting the 0.53
+        shrinks OKS and breaks parity with published CrowdPose numbers."""
+        if self.use_area:
+            return ann["area"]
+        return 0.53 * ann["bbox"][2] * ann["bbox"][3]
+
     # -- per-image OKS ------------------------------------------------------
 
     def _compute_oks(self, dts, gts):
@@ -63,8 +72,7 @@ class KeypointEval:
             g = np.asarray(gt["keypoints"], np.float64)
             xg, yg, vg = g[0::3], g[1::3], g[2::3]
             k1 = np.count_nonzero(vg > 0)
-            area = (gt["area"] if self.use_area
-                    else gt["bbox"][2] * gt["bbox"][3])
+            area = self._area(gt)
             if k1 > 0:
                 dx, dy = xd - xg, yd - yg
             else:
@@ -93,7 +101,7 @@ class KeypointEval:
                                int(np.count_nonzero(
                                    np.asarray(g["keypoints"][2::3]) > 0))) == 0
                       or g.get("ignore", 0))
-            area = g["area"] if self.use_area else g["bbox"][2] * g["bbox"][3]
+            area = self._area(g)
             g["_ignore"] = 1 if (ignore or area < area_rng[0]
                                  or area > area_rng[1]) else 0
 
@@ -130,10 +138,8 @@ class KeypointEval:
                     dtm[ti, di] = gts[m]["id"]
                     gtm[ti, m] = dts[di]["id"]
         # unmatched detections outside the area range are ignored
-        a = np.array([(d["area"] if self.use_area
-                       else d["bbox"][2] * d["bbox"][3]) < area_rng[0]
-                      or (d["area"] if self.use_area
-                          else d["bbox"][2] * d["bbox"][3]) > area_rng[1]
+        a = np.array([self._area(d) < area_rng[0]
+                      or self._area(d) > area_rng[1]
                       for d in dts]).reshape((1, d_n))
         dt_ig = np.logical_or(dt_ig, np.logical_and(dtm == 0,
                                                     np.repeat(a, t_n, 0)))

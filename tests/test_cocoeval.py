@@ -186,3 +186,55 @@ def test_maxdets_cap():
     stats = run_eval(ds, res + clutter)
     # perfect dets score higher -> survive the cap -> AP unaffected at AR end
     assert stats["AR"] == pytest.approx(1.0)
+
+
+def test_crowdpose_bbox_area_uses_053_factor():
+    """With use_area=False (CrowdPose), OKS normalizes by 0.53*w*h — the
+    crowdpose-api convention. A detection offset sized to straddle the two
+    normalizations must match only when the 0.53 factor is applied."""
+    sig = get_spec("crowdpose").sigmas
+    k = len(sig)
+    person = make_person(1, 1, 300, 240, 100, 200, num_joints=k)
+    ds = {"images": [{"id": 1, "width": 640, "height": 480,
+                      "file_name": "x.jpg"}],
+          "annotations": [person],
+          "categories": [{"id": 1, "name": "person",
+                          "keypoints": [f"kp{i}" for i in range(k)]}]}
+    kp = np.asarray(person["keypoints"], np.float64).reshape(-1, 3)
+    area_bbox = 100.0 * 200.0
+
+    # offset chosen so OKS(0.53*area) > 0.5 > OKS(area-without-factor)
+    def oks_for(offset, area):
+        # detection shifts each coord by offset/sqrt(2): dx^2+dy^2 = offset^2
+        e = offset ** 2 / ((2 * sig) ** 2) / (2 * area)
+        return float(np.mean(np.exp(-e)))
+
+    # 0.53*area < area, so the factor makes OKS stricter: find an offset
+    # where OKS(0.53*area) < 0.5 < OKS(area) — a detection that would match
+    # at OKS 0.5 under the buggy no-factor normalization but must NOT match
+    # under the crowdpose-api convention.
+    lo, hi = 1.0, 120.0
+    for _ in range(60):
+        mid = 0.5 * (lo + hi)
+        if oks_for(mid, 0.53 * area_bbox) > 0.45:
+            lo = mid
+        else:
+            hi = mid
+    offset = hi   # OKS with 0.53 factor just below 0.45
+    assert oks_for(offset, 0.53 * area_bbox) < 0.5 < oks_for(offset, area_bbox)
+
+    res_kp = kp.copy()
+    res_kp[:, 0] += offset / np.sqrt(2)
+    res_kp[:, 1] += offset / np.sqrt(2)
+    res_kp[:, 2] = 1.0
+    res = [{"image_id": 1, "category_id": 1,
+            "keypoints": [float(v) for v in res_kp.reshape(-1)],
+            "score": 0.9}]
+    gt = COCOAnnotations(dataset=ds)
+    dt = gt.load_results(res)
+    stats = KeypointEval(gt, dt, sig, use_area=False,
+                         area_rngs=[(0.0, 1e10)], area_lbls=["all"],
+                         ).summarize()
+    # under the 0.53-area convention the detection is BELOW the 0.5 OKS
+    # threshold; the buggy full-bbox-area normalization would match it
+    assert stats["AP .5"] == pytest.approx(0.0)
