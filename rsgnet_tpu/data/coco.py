@@ -159,14 +159,23 @@ class COCODataset(TopDownDataset):
                 p["score"] = kpt_score * box_score
 
         kept = []
-        if self.cfg.TEST.DEVICE_NMS and not self.cfg.TEST.SOFT_NMS:
+        if self.cfg.TEST.DEVICE_NMS:
             # vectorized device kernel: every image's suppression in ONE call
-            from rsgnet_tpu.ops.nms import batched_oks_nms_jax
-            keeps = batched_oks_nms_jax(
-                [np.stack([p["keypoints"] for p in g]) for g in image_groups],
-                [np.asarray([p["score"] for p in g]) for g in image_groups],
-                [np.asarray([p["area"] for p in g]) for g in image_groups],
-                self.spec.sigmas, oks_thre)
+            from rsgnet_tpu.ops.nms import (batched_oks_nms_jax,
+                                            batched_soft_oks_nms_jax)
+            kp_l = [np.stack([p["keypoints"] for p in g])
+                    for g in image_groups]
+            sc_l = [np.asarray([p["score"] for p in g]) for g in image_groups]
+            ar_l = [np.asarray([p["area"] for p in g]) for g in image_groups]
+            if self.cfg.TEST.SOFT_NMS:
+                # reference parity: soft-NMS selects instances but the
+                # results json keeps the pre-decay scores (lib/nms/nms.py
+                # soft_oks_nms used only for its keep list)
+                keeps = [idx for idx, _ in batched_soft_oks_nms_jax(
+                    kp_l, sc_l, ar_l, self.spec.sigmas, oks_thre)]
+            else:
+                keeps = batched_oks_nms_jax(kp_l, sc_l, ar_l,
+                                            self.spec.sigmas, oks_thre)
             for g, keep in zip(image_groups, keeps):
                 kept.append(g if len(keep) == 0 else [g[k] for k in keep])
         else:

@@ -194,6 +194,21 @@ def batched_oks_nms_jax(kpts_per_image, scores_per_image, areas_per_image,
     n = len(kpts_per_image)
     if n == 0:
         return []
+    kpts, scores, areas, valid = _pad_instances(
+        kpts_per_image, scores_per_image, areas_per_image, pad_to)
+    nms = _batched_nms_jit(in_vis_thre)
+    keep = np.asarray(nms(jnp.asarray(kpts), jnp.asarray(scores),
+                          jnp.asarray(areas), jnp.asarray(valid),
+                          jnp.asarray(sigmas, jnp.float32),
+                          jnp.float32(thresh)))
+    return [np.where(keep[i, :kpts_per_image[i].shape[0]])[0]
+            for i in range(n)]
+
+
+def _pad_instances(kpts_per_image, scores_per_image, areas_per_image,
+                   pad_to=None):
+    """Pad variable-length per-image instance lists to (N, M, ...) arrays."""
+    n = len(kpts_per_image)
     k = kpts_per_image[0].shape[1]
     m = int(pad_to or max(x.shape[0] for x in kpts_per_image))
     kpts = np.zeros((n, m, k, 3), np.float32)
@@ -207,14 +222,46 @@ def batched_oks_nms_jax(kpts_per_image, scores_per_image, areas_per_image,
         scores[i, :mi] = sc
         areas[i, :mi] = ar
         valid[i, :mi] = True
+    return kpts, scores, areas, valid
 
-    nms = _batched_nms_jit(in_vis_thre)
-    keep = np.asarray(nms(jnp.asarray(kpts), jnp.asarray(scores),
-                          jnp.asarray(areas), jnp.asarray(valid),
-                          jnp.asarray(sigmas, jnp.float32),
-                          jnp.float32(thresh)))
-    return [np.where(keep[i, :kpts_per_image[i].shape[0]])[0]
-            for i in range(n)]
+
+@functools.lru_cache(maxsize=4)
+def _batched_soft_nms_jit(in_vis_thre, max_dets):
+    def f(kpts, scores, areas, valid, sigmas, thresh):
+        return jax.vmap(lambda kp, sc, ar, va: soft_oks_nms_jax(
+            kp, sc, ar, sigmas, thresh, valid=va,
+            in_vis_thre=in_vis_thre, max_dets=max_dets))(
+                kpts, scores, areas, valid)
+    return jax.jit(f)
+
+
+def batched_soft_oks_nms_jax(kpts_per_image, scores_per_image,
+                             areas_per_image, sigmas, thresh,
+                             in_vis_thre=None, max_dets=20, pad_to=None):
+    """Whole-dataset soft OKS-NMS in ONE device call (the soft analogue of
+    ``batched_oks_nms_jax``; SURVEY.md §2.14, BASELINE.json:5).
+
+    Returns a list of (kept_indices, decayed_scores_for_kept) per image —
+    indices ascending in original order, decayed scores aligned with them.
+    """
+    n = len(kpts_per_image)
+    if n == 0:
+        return []
+    kpts, scores, areas, valid = _pad_instances(
+        kpts_per_image, scores_per_image, areas_per_image, pad_to)
+    nms = _batched_soft_nms_jit(in_vis_thre, int(max_dets))
+    keep, new_scores = nms(jnp.asarray(kpts), jnp.asarray(scores),
+                           jnp.asarray(areas), jnp.asarray(valid),
+                           jnp.asarray(sigmas, jnp.float32),
+                           jnp.float32(thresh))
+    keep = np.asarray(keep)
+    new_scores = np.asarray(new_scores)
+    out = []
+    for i in range(n):
+        mi = kpts_per_image[i].shape[0]
+        idx = np.where(keep[i, :mi])[0]
+        out.append((idx, new_scores[i, idx]))
+    return out
 
 
 def soft_oks_nms_jax(kpts, scores, areas, sigmas, thresh, valid=None,

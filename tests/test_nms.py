@@ -93,3 +93,42 @@ def test_oks_identical_poses():
     keep = np.asarray(nms.oks_nms_jax(
         kpts, np.array([0.9, 0.8], np.float32), areas, COCO.sigmas, 0.9))
     np.testing.assert_array_equal(keep, [True, False])
+
+
+def test_soft_oks_nms_decayed_score_parity():
+    """Device soft-NMS keep set + decayed selection scores match the NumPy
+    oracle (same gaussian decay, same greedy order)."""
+    for seed in range(5):
+        rng = np.random.RandomState(seed)
+        db = _rand_db(rng, m=10)
+        want_keep, want_scores = nms.soft_oks_nms_np(db, 0.9, COCO.sigmas,
+                                                     max_dets=20)
+        kpts = np.stack([d["keypoints"] for d in db])
+        scores = np.array([d["score"] for d in db], np.float32)
+        areas = np.array([d["area"] for d in db], np.float32)
+        keep, new_scores = nms.soft_oks_nms_jax(kpts, scores, areas,
+                                                COCO.sigmas, 0.9, max_dets=20)
+        keep = np.asarray(keep)
+        new_scores = np.asarray(new_scores)
+        assert sorted(np.nonzero(keep)[0].tolist()) == sorted(want_keep), seed
+        oracle = dict(zip(want_keep, want_scores))
+        for idx in want_keep:
+            np.testing.assert_allclose(new_scores[idx], oracle[idx],
+                                       rtol=1e-4, atol=1e-5)
+
+
+def test_batched_soft_oks_nms_matches_per_image():
+    """Whole-dataset batched soft-NMS == per-image oracle on ragged groups."""
+    rng = np.random.RandomState(7)
+    groups = [_rand_db(rng, m=m) for m in (3, 9, 1, 6)]
+    kp_l = [np.stack([d["keypoints"] for d in g]) for g in groups]
+    sc_l = [np.array([d["score"] for d in g], np.float32) for g in groups]
+    ar_l = [np.array([d["area"] for d in g], np.float32) for g in groups]
+    out = nms.batched_soft_oks_nms_jax(kp_l, sc_l, ar_l, COCO.sigmas, 0.9)
+    for g, (idx, dec) in zip(groups, out):
+        want_keep, want_scores = nms.soft_oks_nms_np(g, 0.9, COCO.sigmas)
+        assert sorted(idx.tolist()) == sorted(want_keep)
+        oracle = dict(zip(want_keep, want_scores))
+        for i, s in zip(idx, dec):
+            np.testing.assert_allclose(s, oracle[int(i)], rtol=1e-4,
+                                       atol=1e-5)
