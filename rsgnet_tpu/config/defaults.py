@@ -118,6 +118,10 @@ class TrainConfig:
     # (jax.checkpoint) — trades recompute FLOPs for activation HBM, enabling
     # larger per-chip batches.
     REMAT: bool = False
+    # TPU-native addition: training input pipeline backend.
+    # "threads" = in-process ThreadPool BatchLoader; "grain" = grain-backed
+    # loader with worker processes (deterministic shuffle, checkpointable).
+    LOADER: str = "threads"
 
 
 @dataclass
@@ -187,6 +191,21 @@ class Config:
         return self.MODEL.IMAGE_SIZE[0] / self.MODEL.IMAGE_SIZE[1]
 
 
+# Keys the schema accepts (so reference YAMLs port 1:1) but that nothing in
+# this framework reads. Setting them to a non-default value gets a warning
+# instead of silently changing nothing (SURVEY.md §5.6).
+_ACCEPTED_UNREAD_KEYS = {
+    "TEST.BBOX_THRE": "detector boxes are filtered by TEST.IMAGE_THRE only",
+    "TEST.NMS_THRE": "pose dedup uses OKS-NMS (TEST.OKS_THRE); there is no "
+                     "bbox-IoU NMS stage in the top-down eval path",
+    "CUDNN.BENCHMARK": "cuDNN knob with no TPU counterpart",
+    "CUDNN.DETERMINISTIC": "cuDNN knob with no TPU counterpart",
+    "CUDNN.ENABLED": "cuDNN knob with no TPU counterpart",
+    "PIN_MEMORY": "host staging is managed by the prefetch loader",
+    "RANK": "single-controller JAX runtime; no torch.distributed rank",
+}
+
+
 def _merge(obj: Any, d: dict, path=""):
     """Recursively merge a plain dict (from YAML) into a dataclass tree."""
     for k, v in d.items():
@@ -203,6 +222,14 @@ def _merge(obj: Any, d: dict, path=""):
                 # convention); parse them so those files port unchanged
                 v = tuple(int(t) if t.strip().isdigit() else t.strip()
                           for t in v.strip("()").split(",") if t.strip())
+            full = path + k
+            if full in _ACCEPTED_UNREAD_KEYS and v != cur:
+                import warnings
+                warnings.warn(
+                    f"config key {full} is accepted for reference-YAML "
+                    f"compatibility but read nowhere — setting it to {v!r} "
+                    f"changes nothing ({_ACCEPTED_UNREAD_KEYS[full]})",
+                    stacklevel=2)
             setattr(obj, k, v)
     return obj
 

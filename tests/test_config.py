@@ -68,3 +68,22 @@ def test_crowdpose_cfg():
     assert cfg.MODEL.NUM_JOINTS == 14
     assert cfg.DATASET.DATASET == "crowdpose"
     assert cfg.MODEL.RSG.ENABLED
+
+
+def test_unread_config_keys_warn():
+    """Accepted-but-unread keys (TEST.BBOX_THRE etc.) warn when a YAML sets
+    them to a non-default value instead of silently changing nothing."""
+    import warnings
+    from rsgnet_tpu.config.defaults import Config, update_config
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        update_config(Config(), {"TEST": {"BBOX_THRE": 0.5, "OKS_THRE": 0.8}})
+    msgs = [str(x.message) for x in w]
+    assert any("TEST.BBOX_THRE" in m for m in msgs), msgs
+    assert not any("OKS_THRE" in m for m in msgs), msgs
+    # default-valued sets stay silent
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        update_config(Config(), {"TEST": {"BBOX_THRE": 1.0},
+                                 "CUDNN": {"BENCHMARK": True}})
+    assert not w, [str(x.message) for x in w]
