@@ -95,9 +95,15 @@ def fit(cfg: Config, model, train_dataset, val_dataset=None,
     mesh = mesh or make_mesh(axis_name=cfg.MESH_DATA_AXIS)
     n_dev = mesh.size
     batch_size = cfg.TRAIN.BATCH_SIZE_PER_GPU * n_dev
-    loader = BatchLoader(train_dataset, batch_size, shuffle=cfg.TRAIN.SHUFFLE,
-                         drop_last=True, num_workers=num_workers,
-                         pad_last=False)
+    if cfg.TRAIN.LOADER == "grain":
+        from rsgnet_tpu.data.grain_pipeline import GrainBatchLoader
+        loader = GrainBatchLoader(train_dataset, batch_size,
+                                  shuffle=cfg.TRAIN.SHUFFLE,
+                                  num_workers=num_workers)
+    else:
+        loader = BatchLoader(train_dataset, batch_size,
+                             shuffle=cfg.TRAIN.SHUFFLE, drop_last=True,
+                             num_workers=num_workers, pad_last=False)
     steps_per_epoch = max(1, len(loader))
 
     state = init_state or create_train_state(

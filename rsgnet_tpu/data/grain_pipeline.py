@@ -51,3 +51,37 @@ def make_grain_loader(dataset, batch_size: int, *, shuffle: bool = False,
         it = it.mp_prefetch(
             grain.MultiprocessingOptions(num_workers=worker_count))
     return it
+
+
+class GrainBatchLoader:
+    """Drop-in replacement for ``loader.BatchLoader`` in the training loop
+    (same ``__len__``/``__iter__``/epoch-reshuffle contract), backed by grain
+    worker processes. Selected via ``TRAIN.LOADER: grain`` (SURVEY.md §7(6)).
+
+    Training-only: always drops the last partial batch (the jitted step is
+    compiled for one static batch shape).
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 seed: int = 0, num_workers: int = 0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_workers = num_workers
+        self.epoch = 0
+
+    def __len__(self):
+        return len(self.dataset) // self.batch_size
+
+    def __iter__(self):
+        loader = make_grain_loader(
+            self.dataset, self.batch_size, shuffle=self.shuffle,
+            # fresh seed per epoch mirrors BatchLoader's epoch reshuffle
+            seed=self.seed + self.epoch, num_epochs=1,
+            worker_count=self.num_workers, drop_remainder=True)
+        self.epoch += 1
+        for batch in loader:
+            batch = dict(batch)
+            batch["num_valid"] = np.int32(self.batch_size)
+            yield batch
