@@ -130,3 +130,72 @@ def test_multistep_lr():
     assert abs(float(sched(0)) - 1e-3) < 1e-9
     assert abs(float(sched(25)) - 1e-4) < 1e-9
     assert abs(float(sched(45)) - 1e-5) < 1e-9
+
+
+def test_train_step_dp_params_match_single_device():
+    """Strongest DP correctness statement available without hardware: the
+    sharded 8-device step produces the SAME updated parameters (to fp32
+    reduction tolerance) as the single-device step on the identical batch
+    and rng (VERDICT round-1 item 8)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg = _tiny_cfg()
+    # SGD: the param delta is LINEAR in the gradient, so fp32 reduction
+    # noise stays fp32-sized. (Adam's rsqrt normalization turns a 1e-10
+    # gradient difference on a near-zero coordinate into a +-LR update
+    # flip — parameter equality is not a meaningful check there.)
+    cfg.TRAIN.OPTIMIZER = "sgd"
+    cfg.TRAIN.MOMENTUM = 0.9
+    model = get_pose_net(cfg)
+    mesh = make_mesh()
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0))
+    step = make_train_step(cfg, model, COCO, jit=False)
+    batch = _fake_batch(np.random.RandomState(9), n=16)
+    key = jax.random.PRNGKey(3)
+
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P("data"))
+    sharded_step = jax.jit(step, in_shardings=(
+        repl, {k: shard for k in batch}, repl))
+    st_dp, m_dp = sharded_step(
+        jax.device_put(state, repl),
+        {k: jax.device_put(jnp.asarray(v), shard) for k, v in batch.items()},
+        jax.device_put(key, repl))
+
+    single_step = jax.jit(step)
+    st_1, m_1 = single_step(state, batch, key)
+
+    np.testing.assert_allclose(float(m_dp["loss"]), float(m_1["loss"]),
+                               rtol=1e-5)
+    flat_dp = jax.tree_util.tree_leaves_with_path(st_dp.params)
+    flat_1 = {jax.tree_util.keystr(p): v
+              for p, v in jax.tree_util.tree_leaves_with_path(st_1.params)}
+    for path, v_dp in flat_dp:
+        v_1 = flat_1[jax.tree_util.keystr(path)]
+        np.testing.assert_allclose(np.asarray(v_dp), np.asarray(v_1),
+                                   rtol=2e-4, atol=1e-5,
+                                   err_msg=jax.tree_util.keystr(path))
+
+
+def test_fit_one_epoch_on_8dev_mesh(tmp_path):
+    """fit() runs a whole epoch data-parallel over the virtual 8-chip mesh."""
+    from rsgnet_tpu.config.defaults import tiny_rsgnet
+    from rsgnet_tpu.core.function import fit
+    from rsgnet_tpu.data import get_dataset
+    from tests.fixtures.synthetic_coco import make_dataset, write_fixture
+
+    root = str(tmp_path)
+    write_fixture(root, make_dataset())
+    cfg = tiny_rsgnet()
+    cfg.MODEL.NUM_JOINTS = 17
+    cfg.TRAIN.BATCH_SIZE_PER_GPU = 1      # global batch 8 over the mesh
+    cfg.TRAIN.END_EPOCH = 1
+    ds = get_dataset(cfg, root=root, image_set="val", is_train=True)
+    ds.db = (ds.db * 5)[:16]              # 16 records -> 2 global batches
+    model = get_pose_net(cfg)
+    mesh = make_mesh()
+    assert mesh.size == 8
+    state, _ = fit(cfg, model, ds, val_dataset=None,
+                   output_dir=str(tmp_path / "out"), num_workers=2,
+                   max_epochs=1, mesh=mesh)
+    assert int(state.step) == 2
