@@ -11,7 +11,11 @@ pipelined dispatches, then EVERY output materialized to host before the
 clock stops — on asynchronous/tunneled backends, fencing only the last
 result under-counts; materializing all outputs cannot.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints JSON lines; the LAST line is the headline metric the driver records
+({"metric", "value", "unit", "vs_baseline"}). A preceding line reports the
+true END-TO-END eval path (640^2 padded source -> device warp -> model ->
+flip-test -> decode), which includes the preprocessing the headline excludes
+(VERDICT round-1: report both; optimize the real one).
 
 ``vs_baseline`` normalizes by the reference stack's A100 throughput on the
 same protocol. No published figure exists (BASELINE.md:23 — the reference
@@ -36,6 +40,38 @@ DISTINCT = 8
 ITERS = 30
 
 
+def bench_e2e(cfg, model, variables):
+    """True end-to-end eval throughput: 640^2 uint8 sources, fused device
+    warp -> forward -> flip-test -> decode. Small (coords) outputs, so
+    materializing them is an honest fence."""
+    from rsgnet_tpu.core.inference import make_e2e_fn
+
+    b, src, iters = 64, 640, 12
+    rng = np.random.RandomState(1)
+    imgs = [jnp.asarray(rng.randint(0, 255, (b, src, src, 3), np.uint8))
+            for _ in range(4)]
+    centers = jnp.asarray(rng.uniform(200, 440, (b, 2)).astype(np.float32))
+    scales = jnp.asarray(np.stack([rng.uniform(0.8, 1.5, b) * 0.75,
+                                   rng.uniform(0.8, 1.5, b)],
+                                  -1).astype(np.float32))
+    e2e = make_e2e_fn(cfg, model, (src, src))
+    outs = [e2e(variables, imgs[i % 4], centers, scales) for i in range(2)]
+    jax.tree_util.tree_map(np.asarray, outs)
+    t0 = time.perf_counter()
+    outs = [e2e(variables, imgs[i % 4], centers, scales)
+            for i in range(iters)]
+    sink = jax.tree_util.tree_map(np.asarray, outs)
+    dt = time.perf_counter() - t0
+    assert all(np.isfinite(p).all() for p, _ in sink)
+    ips = b * iters / dt
+    print(json.dumps({
+        "metric": "coco_val_e2e_eval_images_per_sec_per_chip",
+        "value": round(ips, 2),
+        "unit": "images/sec/chip (640^2 src device-warp + flip-test + decode)",
+        "vs_baseline": round(ips / A100_REF_IMAGES_PER_SEC, 3),
+    }))
+
+
 def main():
     from rsgnet_tpu.config.defaults import rsgnet_w32_256x192
     from rsgnet_tpu.core.inference import make_inference_fn
@@ -52,6 +88,7 @@ def main():
     scales = jnp.tile(jnp.asarray([[1.2, 1.6]], jnp.float32), (BATCH, 1))
 
     variables = model.init(jax.random.PRNGKey(0), xs[0][:1], train=False)
+    bench_e2e(cfg, model, variables)
     infer = make_inference_fn(cfg, model)
 
     # warm (compile) + settle

@@ -25,6 +25,30 @@ Design (TPU-first — every step is a batched matmul or fused elementwise op):
 
 The head returns (final, initial); training supervises both (aux loss),
 eval uses final.
+
+DESIGN NOTES — deltas vs the AAAI-2021 RSGNet paper (for fast diffing if
+the reference mount ever populates; every row below is a from-scratch
+choice, NOT verified against the paper's math):
+
+| Capability (paper abstract level)      | This design                       |
+|----------------------------------------|-----------------------------------|
+| target-person disambiguation in        | FiLM modulation of node embeds    |
+| crowded crops ("relation" modeling)    | from a global instance embedding  |
+| skeleton-structured message passing    | L rounds of GCN over the          |
+|                                        | symmetric-normalized adjacency    |
+| keypoint node representations          | heatmap-softmax attention pooling |
+|                                        | of projected backbone features    |
+| heatmap refinement                     | residual delta conv on features   |
+|                                        | + splatted node context           |
+| two-branch supervision                 | aux loss on the initial heatmaps  |
+|                                        | (0.5 weight), final supervised 1x |
+
+Efficacy evidence: tests/test_rsg_efficacy.py trains tiny HRNet vs tiny
+RSGNet on a synthetic crowded-scene fixture (overlapping same-appearance
+persons + a never-rendered, skeleton-inferable joint) and asserts the
+graph head scores higher — the crowded-scene benefit the head exists for
+(BASELINE.json:10). If the mount populates, re-verify this module FIRST
+(SURVEY.md §2.8 flags it as the highest-uncertainty component).
 """
 from __future__ import annotations
 

@@ -112,3 +112,26 @@ def test_upper_fallback_when_lower_too_small():
         want_c, want_s = oracle(joints, vis, use_upper_rand=False)
         np.testing.assert_allclose(np.asarray(c), want_c, atol=1e-4)
         np.testing.assert_allclose(np.asarray(s), want_s, atol=1e-5)
+
+
+def test_upper_branch_probability_is_randn_based():
+    """The HRNet-family reference draws np.random.randn() < 0.5 to pick the
+    upper half — P(upper) = Phi(0.5) ~= 0.691, NOT a fair coin (ADVICE.md
+    round-1). Identify the chosen branch by the returned center."""
+    joints, vis = make_joints(0)
+    up = list(SPEC.upper_body_ids)
+    low = list(SPEC.lower_body_ids)
+    joints[up] = [[100.0, 100.0]] * len(up)     # upper cluster
+    joints[low] = [[400.0, 400.0]] * len(low)   # lower cluster
+
+    def one(key):
+        c, s, gate = _half_body(key, jnp.asarray(joints), jnp.asarray(vis),
+                                SPEC, ASPECT, num_joints_half_body=8,
+                                prob_half_body=1.0)
+        return c[0]
+
+    keys = jax.random.split(jax.random.PRNGKey(42), 2000)
+    cx = np.asarray(jax.vmap(one)(keys))
+    frac_upper = float(np.mean(cx < 250.0))
+    # Phi(0.5) = 0.6915; 2000 draws -> s.e. ~ 0.010
+    assert 0.64 < frac_upper < 0.74, frac_upper
