@@ -122,6 +122,14 @@ class TrainConfig:
     # "threads" = in-process ThreadPool BatchLoader; "grain" = grain-backed
     # loader with worker processes (deterministic shuffle, checkpointable).
     LOADER: str = "threads"
+    # TPU-native addition: train-time crop/rotation warp implementation.
+    # "gather"  = 4-tap bilinear gather (bit-exact cv2.warpAffine semantics;
+    #             ~1 elem/cycle on TPU — the round-1 train bottleneck).
+    # "shear"   = roll-decomposed two-pass warp (ops/shear_warp.py): exact
+    #             map and labels, MXU/VPU-only sampling; the interpolation
+    #             footprint is a sheared bilinear, so rotated samples differ
+    #             slightly from cv2 filtering (exact at rot 0/90/flips).
+    WARP: str = "shear"
 
 
 @dataclass

@@ -43,11 +43,17 @@ def make_multistep_lr(cfg: Config, steps_per_epoch: int):
 def make_optimizer(cfg: Config, steps_per_epoch: int = 1000):
     sched = make_multistep_lr(cfg, steps_per_epoch)
     if cfg.TRAIN.OPTIMIZER.lower() == "adam":
-        return optax.adam(sched)
-    if cfg.TRAIN.OPTIMIZER.lower() == "sgd":
-        return optax.sgd(sched, momentum=cfg.TRAIN.MOMENTUM,
-                         nesterov=cfg.TRAIN.NESTEROV)
-    raise KeyError(cfg.TRAIN.OPTIMIZER)
+        tx = optax.adam(sched)
+    elif cfg.TRAIN.OPTIMIZER.lower() == "sgd":
+        tx = optax.sgd(sched, momentum=cfg.TRAIN.MOMENTUM,
+                       nesterov=cfg.TRAIN.NESTEROV)
+    else:
+        raise KeyError(cfg.TRAIN.OPTIMIZER)
+    # HRNet has ~1200 parameter leaves; per-leaf optimizer ops dominate the
+    # update tail on TPU (~70 ms/step of kernel-dispatch overhead measured at
+    # B=64 — BENCH_NOTES.md round 2). Flattening runs ONE fused elementwise
+    # update over a single concatenated buffer; numerics are unchanged.
+    return optax.flatten(tx)
 
 
 def create_train_state(cfg: Config, model, rng, steps_per_epoch: int = 1000):

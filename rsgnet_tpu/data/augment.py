@@ -28,6 +28,7 @@ from rsgnet_tpu.data.skeletons import KeypointSpec
 from rsgnet_tpu.ops.affine import (affine_transform_jax,
                                    get_affine_transform_jax)
 from rsgnet_tpu.ops.heatmap import generate_target_jax
+from rsgnet_tpu.ops.shear_warp import shear_warp_batch
 from rsgnet_tpu.ops.warp import affine_warp_batch, normalize_image
 
 
@@ -137,7 +138,13 @@ def augment_batch(key, images, joints, joints_vis, centers, scales,
     trans_flipped = jnp.stack([f_col0, trans[:, :, 1], f_col2], axis=-1)
     total_trans = jnp.where(do_flip[:, None, None], trans_flipped, trans)
 
-    inputs = affine_warp_batch(jnp.asarray(images), total_trans, image_size)
+    # warp backend: the roll-decomposed shear warp replaces the 4-tap gather
+    # (the round-1 train-step bottleneck — BENCH_NOTES.md) on square source
+    # canvases; non-square sources or TRAIN.WARP="gather" use the exact gather.
+    if cfg.TRAIN.WARP == "shear" and src_h == src_w:
+        inputs = shear_warp_batch(jnp.asarray(images), total_trans, image_size)
+    else:
+        inputs = affine_warp_batch(jnp.asarray(images), total_trans, image_size)
     inputs = normalize_image(inputs)
 
     # joints through the same (flip-composed) transform + L/R permutation
