@@ -72,6 +72,46 @@ def bench_e2e(cfg, model, variables):
     }))
 
 
+def bench_train(cfg, model):
+    """FULL train step (on-device shear-warp aug from 640^2 uint8 sources +
+    fwd + bwd + fused optimizer update), pipelined: the state threads on
+    device and ONE loss scalar is materialized at the end — matching how
+    core/function.py's lazy metric fetch drives real training."""
+    from rsgnet_tpu.core.train import create_train_state, make_train_step
+    from rsgnet_tpu.data.skeletons import get_spec
+
+    b, src, iters = 64, 640, 10
+    rng = np.random.RandomState(2)
+    imgs = [jnp.asarray(rng.randint(0, 255, (b, src, src, 3), np.uint8))
+            for _ in range(3)]
+    joints = jnp.asarray(rng.uniform(150, 450, (b, 17, 2)).astype(np.float32))
+    vis = jnp.asarray((rng.uniform(size=(b, 17)) > 0.2).astype(np.float32))
+    centers = jnp.asarray(rng.uniform(200, 440, (b, 2)).astype(np.float32))
+    scales = jnp.asarray(np.stack([rng.uniform(0.8, 1.5, b) * 0.75,
+                                   rng.uniform(0.8, 1.5, b)],
+                                  -1).astype(np.float32))
+    batches = [{"image": x, "joints": joints, "joints_vis": vis,
+                "center": centers, "scale": scales} for x in imgs]
+    key = jax.random.PRNGKey(0)
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0))
+    step = make_train_step(cfg, model, get_spec("coco"))
+    state, m = step(state, batches[0], key)
+    np.asarray(m["loss"])                        # compile + settle
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, m = step(state, batches[i % 3], key)
+    loss = np.asarray(m["loss"])
+    dt = time.perf_counter() - t0
+    assert np.isfinite(loss)
+    ips = b * iters / dt
+    print(json.dumps({
+        "metric": "train_step_images_per_sec_per_chip",
+        "value": round(ips, 2),
+        "unit": "images/sec/chip (B=64: device aug 640^2 + fwd+bwd+update)",
+        "vs_baseline": round(ips / 272.0, 3),     # round-1 train throughput
+    }))
+
+
 def main():
     from rsgnet_tpu.config.defaults import rsgnet_w32_256x192
     from rsgnet_tpu.core.inference import make_inference_fn
@@ -88,6 +128,12 @@ def main():
     scales = jnp.tile(jnp.asarray([[1.2, 1.6]], jnp.float32), (BATCH, 1))
 
     variables = model.init(jax.random.PRNGKey(0), xs[0][:1], train=False)
+    try:
+        bench_train(cfg, model)
+    except Exception as e:                        # never break the headline
+        print(json.dumps({"metric": "train_step_images_per_sec_per_chip",
+                          "value": None, "unit": f"skipped: {e!r}",
+                          "vs_baseline": None}))
     bench_e2e(cfg, model, variables)
     infer = make_inference_fn(cfg, model)
 

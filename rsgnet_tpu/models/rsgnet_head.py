@@ -43,12 +43,15 @@ choice, NOT verified against the paper's math):
 | two-branch supervision                 | aux loss on the initial heatmaps  |
 |                                        | (0.5 weight), final supervised 1x |
 
-Efficacy evidence: tests/test_rsg_efficacy.py trains tiny HRNet vs tiny
-RSGNet on a synthetic crowded-scene fixture (overlapping same-appearance
-persons + a never-rendered, skeleton-inferable joint) and asserts the
-graph head scores higher — the crowded-scene benefit the head exists for
-(BASELINE.json:10). If the mount populates, re-verify this module FIRST
-(SURVEY.md §2.8 flags it as the highest-uncertainty component).
+Efficacy evidence: tests/test_rsg_efficacy.py trains tiny RSGNet on a
+synthetic crowded-scene fixture (two overlapping SAME-appearance persons,
+target centered) and asserts (paired, seed-robust) that the head's refined
+FINAL heatmaps disambiguate the target far better than the same backbone's
+pre-refinement INITIAL heatmaps (disamb ~0.89 vs ~0.65-0.72), and better
+than a fully-supervised plain tiny HRNet (~0.77) — the crowded-scene
+benefit the head exists for (BASELINE.json:10). If the mount populates,
+re-verify this module FIRST (SURVEY.md §2.8 flags it as the
+highest-uncertainty component).
 """
 from __future__ import annotations
 
