@@ -29,14 +29,29 @@ from rsgnet_tpu.ops.flip import flip_back_jax
 from rsgnet_tpu.ops.warp import crop_and_normalize
 
 
-def heatmaps_with_flip_test(apply_fn, variables, images, cfg: Config, perm):
-    """Model forward (+ optional flip-test average). images: (N, H, W, 3)."""
-    output = apply_fn(variables, images)
-    if cfg.TEST.FLIP_TEST:
+def heatmaps_with_flip_test(apply_fn, variables, images, cfg: Config, perm,
+                            fused=False):
+    """Model forward (+ optional flip-test average). images: (N, H, W, 3).
+
+    ``fused=True`` runs original + x-mirrored crops as ONE 2N-batch forward
+    (bit-identical in eval mode — BatchNorm uses running averages, so
+    samples are independent). Measured A/B on the chip (B=128, W32): fused
+    72.6/68.3 ms vs two-pass 62.9/66.7 ms — halving the op count does NOT
+    help (the 2N-batch working set hurts more than per-op overhead), so
+    two-pass is the default; the fused variant is kept for experimentation.
+    """
+    if not cfg.TEST.FLIP_TEST:
+        return apply_fn(variables, images)
+    if fused:
+        n = images.shape[0]
+        both = jnp.concatenate([images, images[:, :, ::-1, :]], axis=0)
+        out = apply_fn(variables, both)
+        output, flipped = out[:n], out[n:]
+    else:
+        output = apply_fn(variables, images)
         flipped = apply_fn(variables, images[:, :, ::-1, :])
-        flipped = flip_back_jax(flipped, perm, shift=cfg.TEST.SHIFT_HEATMAP)
-        output = (output + flipped) * 0.5
-    return output
+    flipped = flip_back_jax(flipped, perm, shift=cfg.TEST.SHIFT_HEATMAP)
+    return (output + flipped) * 0.5
 
 
 def make_inference_fn(cfg: Config, model, jit=True, normalize_input=False):
