@@ -1,0 +1,88 @@
+"""REAL multi-process data parallelism over the DCN stand-in (SURVEY §5.8).
+
+Spawns 2 OS processes x 4 virtual CPU devices each; jax.distributed forms
+the 8-device global mesh and Gloo carries the cross-process collectives
+(the CPU analogue of DCN between TPU slices). Each process feeds only its
+local half of a deterministic global batch through
+``local_batch_to_global``; the REAL sharded train step (on-device aug +
+fwd + bwd + all-reduced grads + update) runs two steps.
+
+Asserts:
+  - both processes observe identical losses (the mesh is one program);
+  - the losses match the SINGLE-process 8-device run of the same batch
+    to fp32 reduction tolerance — process topology does not change the
+    math, which is the strongest multi-host correctness statement
+    available without hardware.
+"""
+import os
+import re
+import socket
+import subprocess
+import sys
+
+import jax
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from rsgnet_tpu.core.train import create_train_state, make_train_step
+from rsgnet_tpu.data.skeletons import get_spec
+from rsgnet_tpu.models import get_pose_net
+from rsgnet_tpu.parallel.mesh import make_mesh
+from tests.worker_dp_common import make_cfg, make_global_batch
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "worker_dp.py")
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _single_process_losses():
+    cfg = make_cfg()
+    model = get_pose_net(cfg)
+    mesh = make_mesh()                       # 8 virtual devices (conftest)
+    repl = NamedSharding(mesh, P())
+    state = jax.device_put(
+        create_train_state(cfg, model, jax.random.PRNGKey(0)), repl)
+    step = make_train_step(cfg, model, get_spec("coco"), jit=False)
+    step = jax.jit(step, in_shardings=(repl, None, repl), donate_argnums=(0,))
+    batch = make_global_batch()
+    key = jax.random.PRNGKey(7)
+    losses = []
+    for _ in range(2):
+        key, sub = jax.random.split(key)
+        state, m = step(state, batch, sub)
+        losses.append(float(m["loss"]))
+    return losses
+
+
+def test_two_process_dp_matches_single_process():
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen(
+        [sys.executable, WORKER, str(i), "2", str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env, cwd=REPO) for i in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+
+    seen = {}
+    for out in outs:
+        for m in re.finditer(r"LOSSES\[(\d)\]: ([\d.]+) ([\d.]+)", out):
+            seen[int(m.group(1))] = (float(m.group(2)), float(m.group(3)))
+    assert set(seen) == {0, 1}, (seen, [o[-2000:] for o in outs])
+    # identical across processes — one SPMD program
+    np.testing.assert_allclose(seen[0], seen[1], rtol=0, atol=0)
+
+    ref = _single_process_losses()
+    np.testing.assert_allclose(seen[0], ref, rtol=2e-5, atol=2e-5)
