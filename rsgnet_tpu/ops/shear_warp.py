@@ -129,19 +129,29 @@ def _resample_pass(x, p, s, axis, out_n, precision):
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, out_n, size), 2)
     hot = (iota == jnp.mod(pi, size)[:, :, None]).astype(jnp.float32)
 
-    dtype = jnp.float32
+    # The one-hot matmul is pure SELECTION (one nonzero per row), so for
+    # 8-bit sources it is EXACT at bf16 MXU rate: values <= 255 are exactly
+    # representable in bf16 and each output element is a single product of
+    # an exact 0/1 weight with an exact value (fp32 accumulate). Wider
+    # integer types are NOT bf16-exact — they take the fp32 path like
+    # floats, keeping the caller's precision (HIGHEST = exact fp32).
+    if jnp.issubdtype(x.dtype, jnp.integer) and x.dtype.itemsize == 1:
+        dtype, prec = jnp.bfloat16, jax.lax.Precision.DEFAULT
+        hot = hot.astype(jnp.bfloat16)
+    else:
+        dtype, prec = jnp.float32, precision
     taps = []
     for j in range(3):
         xj = x1 if j == 0 else jnp.roll(x1, -j, axis=axis)
         xj = jnp.asarray(xj, dtype)
         if axis == 2:
             # (B, out_n, S) x (B, S_rows, S, C) -> (B, S_rows, out_n, C)
-            taps.append(jnp.einsum("bxc,brcd->brxd", hot, xj,
-                                   precision=precision))
+            taps.append(jnp.einsum("bxc,brcd->brxd", hot, xj, precision=prec,
+                                   preferred_element_type=jnp.float32))
         else:
             # (B, out_n, S) x (B, S, W, C) -> (B, out_n, W, C)
-            taps.append(jnp.einsum("byr,brxc->byxc", hot, xj,
-                                   precision=precision))
+            taps.append(jnp.einsum("byr,brxc->byxc", hot, xj, precision=prec,
+                                   preferred_element_type=jnp.float32))
 
     # weights + true-source-index validity, broadcast to (B, rows, cols)
     if axis == 2:

@@ -61,8 +61,19 @@ def load_checkpoint(path: str, state) -> Tuple[Any, int, float]:
                                                 raw["batch_stats"])
     kw = dict(params=params, batch_stats=batch_stats)
     if "opt_state" in raw:
-        kw["opt_state"] = serialization.from_state_dict(state.opt_state,
-                                                        raw["opt_state"])
+        try:
+            kw["opt_state"] = serialization.from_state_dict(state.opt_state,
+                                                            raw["opt_state"])
+        except (KeyError, ValueError, TypeError) as e:
+            # optimizer-state layout changed between writer and reader (e.g.
+            # per-leaf Adam state from before the optax.flatten fusion).
+            # Weights + epoch still resume; the optimizer restarts fresh —
+            # strictly better than crashing the run at startup.
+            import logging
+            logging.getLogger("rsgnet").warning(
+                "checkpoint %s: optimizer state layout mismatch (%s); "
+                "resuming weights/epoch with a fresh optimizer state",
+                path, e)
     state = state.replace(**kw)
     return state, int(raw.get("epoch", 0)), float(raw.get("perf", 0.0))
 

@@ -63,6 +63,9 @@ def test_grain_batch_loader_epoch_reshuffle(ds):
     valid_ids = {int(ds.db[i]["image_id"]) for i in range(len(ds))}
     assert len(flat0) == len(flat1) == len(loader) * 2
     assert set(flat0) <= valid_ids and set(flat1) <= valid_ids
+    # the RESHUFFLE contract itself: epoch orders must differ (deterministic
+    # seeds — this is a stable assertion, not a probabilistic one)
+    assert flat0 != flat1, (flat0, flat1)
     assert all(b["num_valid"] == 2 for b in loader)
 
 

@@ -121,6 +121,21 @@ def test_uint8_and_float32_sources_agree():
     np.testing.assert_allclose(a, b, atol=2e-3)
 
 
+def test_wide_integer_sources_not_quantized():
+    """int32 sources with values > 255 must NOT take the bf16 selection
+    path (only 8-bit types are bf16-exact)."""
+    rng = np.random.RandomState(6)
+    s = 96
+    imgs32 = rng.randint(0, 100000, (3, s, s, 1)).astype(np.int32)
+    centers = rng.uniform(30, 66, (3, 2))
+    scales = np.stack([rng.uniform(0.2, 0.4, 3) * 0.75,
+                       rng.uniform(0.2, 0.4, 3)], -1)
+    t = _trans(centers, scales, rng.uniform(-60, 60, 3))
+    a = np.asarray(shear_warp_batch(jnp.asarray(imgs32), t, OUT))
+    b = np.asarray(shear_warp_batch(jnp.asarray(imgs32, jnp.float32), t, OUT))
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-2)
+
+
 def test_non_square_source_rejected():
     imgs = jnp.zeros((2, 64, 96, 3), jnp.uint8)
     t = _trans(np.full((2, 2), 32.0), np.full((2, 2), 0.3), np.zeros(2))

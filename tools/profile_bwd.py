@@ -17,13 +17,13 @@ Run on the real TPU:  python tools/profile_bwd.py
 """
 from __future__ import annotations
 
-import time
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 import _init_paths  # noqa: F401
+
+from _profiling import timeit as _timeit
 
 from rsgnet_tpu.config.defaults import rsgnet_w32_256x192
 from rsgnet_tpu.core.loss import make_loss
@@ -35,16 +35,7 @@ ITERS = 10
 
 
 def timeit(name, fn, arg_sets, iters=ITERS):
-    s = [fn(*arg_sets[i % len(arg_sets)]) for i in range(2)]
-    [np.asarray(x) for x in s]
-    t0 = time.perf_counter()
-    outs = [fn(*arg_sets[i % len(arg_sets)]) for i in range(iters)]
-    sink = [np.asarray(x) for x in outs]
-    dt = (time.perf_counter() - t0) / iters
-    assert all(np.isfinite(x) for x in sink)
-    print(f"{name:48s} {dt * 1e3:8.1f} ms/iter   {B / dt:8.1f} img/s",
-          flush=True)
-    return dt
+    return _timeit(name, fn, arg_sets, iters=iters, batch=B)
 
 
 def build(dtype):

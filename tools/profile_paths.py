@@ -22,6 +22,8 @@ import numpy as np
 
 import _init_paths  # noqa: F401
 
+from _profiling import digest, timeit as _timeit
+
 from rsgnet_tpu.config.defaults import rsgnet_w32_256x192
 from rsgnet_tpu.core.train import create_train_state, make_train_step
 from rsgnet_tpu.data.augment import augment_batch
@@ -37,31 +39,16 @@ SRC = 640
 ITERS = 12
 
 
-def digest(*outs):
-    """Single fp32 scalar forcing completion of every output."""
-    total = jnp.float32(0.0)
-    for o in jax.tree_util.tree_leaves(outs):
-        total = total + jnp.sum(jnp.asarray(o, jnp.float32))
-    return total
-
-
 def timeit(name, fn, arg_sets, iters=ITERS):
-    """fn must return a SCALAR. Pipelined dispatch, scalars materialized."""
-    s = [fn(*arg_sets[i % len(arg_sets)]) for i in range(2)]
-    [np.asarray(x) for x in s]
-    t0 = time.perf_counter()
-    outs = [fn(*arg_sets[i % len(arg_sets)]) for i in range(iters)]
-    sink = [np.asarray(x) for x in outs]
-    dt = (time.perf_counter() - t0) / iters
-    assert all(np.isfinite(x) for x in sink)
-    print(f"{name:44s} {dt * 1e3:8.1f} ms/iter   {B / dt:8.1f} img/s",
-          flush=True)
-    return dt
+    return _timeit(name, fn, arg_sets, iters=iters, batch=B)
 
 
 def timeit_seq(name, step, state0, arg_sets, iters=6):
-    """Sequential stateful step (training): state threads through, the loss
-    scalar is materialized every iteration (adds one RTT per step)."""
+    """Sequential stateful step with a PER-STEP loss fetch — SUPERSEDED by
+    _profiling.timeit_pipelined_step (one end fetch): each materialization
+    adds one ~30 ms tunnel RTT, which inflated the round-1/round-2-early
+    train-step numbers (BENCH_NOTES.md). Kept so the historical numbers in
+    BENCH_NOTES remain reproducible."""
     state, metrics = step(state0, *arg_sets[0])
     np.asarray(metrics["loss"])
     t0 = time.perf_counter()

@@ -10,13 +10,13 @@ Run on the real TPU:  python tools/profile_shear.py
 """
 from __future__ import annotations
 
-import time
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 import _init_paths  # noqa: F401
+
+from _profiling import digest, timeit as _timeit, timeit_pipelined_step
 
 from rsgnet_tpu.config.defaults import rsgnet_w32_256x192
 from rsgnet_tpu.core.train import create_train_state, make_train_step
@@ -31,39 +31,8 @@ SRC = 640
 ITERS = 10
 
 
-def digest(*outs):
-    total = jnp.float32(0.0)
-    for o in jax.tree_util.tree_leaves(outs):
-        total = total + jnp.sum(jnp.asarray(o, jnp.float32))
-    return total
-
-
 def timeit(name, fn, arg_sets, iters=ITERS):
-    s = [fn(*arg_sets[i % len(arg_sets)]) for i in range(2)]
-    [np.asarray(x) for x in s]
-    t0 = time.perf_counter()
-    outs = [fn(*arg_sets[i % len(arg_sets)]) for i in range(iters)]
-    sink = [np.asarray(x) for x in outs]
-    dt = (time.perf_counter() - t0) / iters
-    assert all(np.isfinite(x) for x in sink)
-    print(f"{name:52s} {dt * 1e3:8.1f} ms/iter   {B / dt:8.1f} img/s",
-          flush=True)
-    return dt
-
-
-def timeit_pipelined_step(name, step, state0, arg_sets, iters=10):
-    """Thread state device-side; fetch ONE loss scalar at the end."""
-    state, m = step(state0, *arg_sets[0])
-    np.asarray(m["loss"])                    # compile + settle
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state, m = step(state, *arg_sets[i % len(arg_sets)])
-    loss = np.asarray(m["loss"])
-    dt = (time.perf_counter() - t0) / iters
-    assert np.isfinite(loss)
-    print(f"{name:52s} {dt * 1e3:8.1f} ms/iter   {B / dt:8.1f} img/s",
-          flush=True)
-    return dt
+    return _timeit(name, fn, arg_sets, iters=iters, batch=B)
 
 
 def main():
@@ -109,7 +78,7 @@ def main():
         batches = [{"image": x, "joints": joints, "joints_vis": vis,
                     "center": centers, "scale": scales} for x in imgs]
         timeit_pipelined_step(f"train step FULL pipelined ({warp})", step,
-                              state, [(b, key) for b in batches])
+                              state, [(b, key) for b in batches], batch=B)
 
 
 if __name__ == "__main__":

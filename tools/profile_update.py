@@ -10,13 +10,13 @@ Run on the real TPU:  python tools/profile_update.py
 """
 from __future__ import annotations
 
-import time
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 import _init_paths  # noqa: F401
+
+from _profiling import timeit_pipelined_step
 
 from rsgnet_tpu.config.defaults import rsgnet_w32_256x192
 from rsgnet_tpu.core.loss import make_loss
@@ -29,17 +29,8 @@ B = 64
 
 
 def timeit_pipelined(name, step, state0, arg_sets, iters=10):
-    state, m = step(state0, *arg_sets[0])
-    np.asarray(m["loss"])
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state, m = step(state, *arg_sets[i % len(arg_sets)])
-    loss = np.asarray(m["loss"])
-    dt = (time.perf_counter() - t0) / iters
-    assert np.isfinite(loss)
-    print(f"{name:52s} {dt * 1e3:8.1f} ms/iter   {B / dt:8.1f} img/s",
-          flush=True)
-    return dt
+    return timeit_pipelined_step(name, step, state0, arg_sets, iters=iters,
+                                 batch=B)
 
 
 def main():
