@@ -97,6 +97,29 @@ def test_bf16_compute_fp32_output():
         assert leaf.dtype == jnp.float32
 
 
+def test_bf16_forward_close_to_fp32():
+    """bf16 MXU compute must track the fp32 forward closely on the SAME
+    params — guards against accidental precision leaks (e.g. a bf16 BN or a
+    dtype-dependent code path diverging)."""
+    cfg = _tiny_cfg()
+    cfg.DTYPE = "float32"
+    model32 = get_pose_net(cfg)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.uniform(-2, 2, (2, 64, 64, 3)).astype(np.float32))
+    variables = model32.init(jax.random.PRNGKey(3), x)
+    out32 = model32.apply(variables, x)
+
+    import copy
+    cfg16 = copy.deepcopy(cfg)
+    cfg16.DTYPE = "bfloat16"
+    model16 = get_pose_net(cfg16)
+    out16 = model16.apply(variables, x)          # same fp32 params
+    scale = float(jnp.abs(out32).max()) + 1e-6
+    rel = float(jnp.abs(out16 - out32).max()) / scale
+    # bf16 has ~2-3 decimal digits; through ~30 tiny layers expect <10% rel
+    assert rel < 0.10, rel
+
+
 def test_w32_config_param_count():
     """Full W32 body ~28.5M params (HRNet paper Table 4 reports 28.5M)."""
     cfg = defaults.w32_256x192()
