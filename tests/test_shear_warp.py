@@ -143,6 +143,32 @@ def test_non_square_source_rejected():
         shear_warp_batch(imgs, t, OUT)
 
 
+def test_fuzz_many_random_affines():
+    """Property fuzz over a wide affine distribution (scales, anisotropy,
+    rotations incl. the transposed-frame regime, off-canvas centers):
+    outputs are finite, bounded by the source range, close to the gather
+    in the mean, and EXACT wherever rotation is zero."""
+    rng = np.random.RandomState(7)
+    s = 64
+    n = 48
+    imgs = _smooth_images(rng, n, s)
+    centers = rng.uniform(-10, 74, (n, 2))
+    scales = np.stack([rng.uniform(0.1, 0.6, n) * rng.uniform(0.5, 1.5, n),
+                       rng.uniform(0.1, 0.6, n)], -1)
+    rots = np.where(rng.uniform(size=n) < 0.3, 0.0,
+                    rng.uniform(-90, 90, n)).astype(np.float32)
+    t = _trans(centers, scales, rots, out=(32, 48))
+    ref = np.asarray(affine_warp_batch(jnp.asarray(imgs), t, (32, 48)))
+    got = np.asarray(shear_warp_batch(jnp.asarray(imgs), t, (32, 48)))
+    assert np.isfinite(got).all()
+    assert got.min() >= -1e-3 and got.max() <= imgs.max() + 1e-2
+    err = np.abs(ref - got).reshape(n, -1)
+    assert err.mean() < 1.5, err.mean()
+    zero_rot = rots == 0.0
+    assert zero_rot.sum() > 5
+    np.testing.assert_allclose(got[zero_rot], ref[zero_rot], atol=1e-2)
+
+
 def test_augment_batch_uses_shear_by_default():
     """TRAIN.WARP='shear' routes augment through the roll warp; 'gather'
     falls back; with rotation+flip off both agree exactly."""
