@@ -76,11 +76,16 @@ def bench_train(cfg, model):
     """FULL train step (on-device shear-warp aug from 640^2 uint8 sources +
     fwd + bwd + fused optimizer update), pipelined: the state threads on
     device and ONE loss scalar is materialized at the end — matching how
-    core/function.py's lazy metric fetch drives real training."""
+    core/function.py's lazy metric fetch drives real training.
+
+    B=128: the step is per-op-overhead-bound, so throughput rises with
+    batch (B=64: 524-532, B=96: 684, B=128: 812 img/s measured round 2);
+    128 fits comfortably since the uint8 roll-warp pipeline replaced the
+    fp32 gather intermediates that OOM'd round 1."""
     from rsgnet_tpu.core.train import create_train_state, make_train_step
     from rsgnet_tpu.data.skeletons import get_spec
 
-    b, src, iters = 64, 640, 10
+    b, src, iters = 128, 640, 10
     rng = np.random.RandomState(2)
     imgs = [jnp.asarray(rng.randint(0, 255, (b, src, src, 3), np.uint8))
             for _ in range(3)]
@@ -107,7 +112,7 @@ def bench_train(cfg, model):
     print(json.dumps({
         "metric": "train_step_images_per_sec_per_chip",
         "value": round(ips, 2),
-        "unit": "images/sec/chip (B=64: device aug 640^2 + fwd+bwd+update)",
+        "unit": "images/sec/chip (B=128: device aug 640^2 + fwd+bwd+update)",
         "vs_baseline": round(ips / 272.0, 3),     # round-1 train throughput
     }))
 
