@@ -43,10 +43,14 @@ ITERS = 30
 def bench_e2e(cfg, model, variables):
     """True end-to-end eval throughput: 640^2 uint8 sources, fused device
     warp -> forward -> flip-test -> decode. Small (coords) outputs, so
-    materializing them is an honest fence."""
+    materializing them is an honest fence.
+
+    B=128: like the train step, this path is per-op-overhead-bound and
+    batch amortizes it (B=64: 900-972, B=128: 1857, B=256: 1791 img/s
+    measured round 2)."""
     from rsgnet_tpu.core.inference import make_e2e_fn
 
-    b, src, iters = 64, 640, 12
+    b, src, iters = 128, 640, 12
     rng = np.random.RandomState(1)
     imgs = [jnp.asarray(rng.randint(0, 255, (b, src, src, 3), np.uint8))
             for _ in range(4)]
