@@ -47,6 +47,28 @@ def test_checkpoint_roundtrip(tmp_path):
     _tree_allclose(state.opt_state, state2.opt_state)
 
 
+def test_opt_state_layout_mismatch_degrades_gracefully(tmp_path):
+    """A checkpoint whose optimizer-state layout differs from the current
+    template (e.g. written before the optax.flatten fusion, or by a
+    different optimizer) must still resume weights + epoch instead of
+    crashing (load_checkpoint falls back with a warning)."""
+    cfg = tiny_rsgnet()
+    cfg.TRAIN.OPTIMIZER = "sgd"
+    _, state_sgd = make_state(cfg)
+    path = save_checkpoint(str(tmp_path), state_sgd, epoch=5, perf=0.3,
+                           is_best=False)
+
+    cfg2 = tiny_rsgnet()
+    cfg2.TRAIN.OPTIMIZER = "adam"          # different opt_state pytree
+    _, state_adam = make_state(cfg2)
+    state2, epoch, perf = load_checkpoint(path, state_adam)
+    assert epoch == 5 and perf == pytest.approx(0.3)
+    _tree_allclose(state_sgd.params, state2.params)
+    # optimizer state stayed the fresh adam template (not restored)
+    assert jax.tree_util.tree_structure(state2.opt_state) == \
+        jax.tree_util.tree_structure(state_adam.opt_state)
+
+
 def test_auto_resume_semantics(tmp_path):
     cfg = tiny_rsgnet()
     model, state = make_state(cfg)
