@@ -37,12 +37,16 @@ def dist_acc_jax(dists, thr=0.5):
 def accuracy_jax(output_nhwc, target_nhwc, thr=0.5):
     """Returns (per_joint_acc (K,), avg_acc scalar, cnt, pred_coords).
 
-    Matches the reference `accuracy`: normalize = heatmap_size/10.
+    Matches the reference `accuracy` including its normalization QUIRK:
+    the reference builds ``norm = np.array([h, w]) / 10`` (NCHW shape[2:])
+    and divides the (x, y) coordinate pairs by it — so x is normalized by
+    the heatmap HEIGHT and y by the WIDTH. Reproduced deliberately for
+    training-curve parity (this is only the train-time progress meter).
     """
     n, h, w, k = output_nhwc.shape
     pred, _ = get_max_preds_jax(output_nhwc)
     gt, _ = get_max_preds_jax(target_nhwc)
-    norm = jnp.full((n, 2), jnp.array([w, h], jnp.float32) / 10.0)
+    norm = jnp.full((n, 2), jnp.array([h, w], jnp.float32) / 10.0)
     dists = calc_dists_jax(pred, gt, norm)                       # (K, N)
     per_joint = jnp.stack([dist_acc_jax(dists[i], thr) for i in range(k)])
     valid_joint = per_joint >= 0.0

@@ -135,11 +135,28 @@ def fit(cfg: Config, model, train_dataset, val_dataset=None,
                       donate_argnums=(0,))
 
     begin_epoch, best_perf = cfg.TRAIN.BEGIN_EPOCH, 0.0
+    auto_resumed = False
     if cfg.TRAIN.AUTO_RESUME:
-        state, begin_epoch, best_perf = auto_resume(output_dir, state)
-        if begin_epoch > 0 and logger:
-            logger.info("auto-resumed at epoch %d (best %.4f)",
-                        begin_epoch, best_perf)
+        state, resumed_epoch, resumed_perf = auto_resume(output_dir, state)
+        auto_resumed = resumed_epoch > 0
+        if auto_resumed:
+            begin_epoch, best_perf = resumed_epoch, resumed_perf
+            if logger:
+                logger.info("auto-resumed at epoch %d (best %.4f)",
+                            begin_epoch, best_perf)
+    if not auto_resumed and cfg.TRAIN.RESUME:
+        # reference TRAIN.RESUME semantics: no output-dir checkpoint found
+        # (auto-resume takes precedence), resume from the explicit
+        # TRAIN.CHECKPOINT path instead
+        if not cfg.TRAIN.CHECKPOINT:
+            raise ValueError("TRAIN.RESUME=true requires TRAIN.CHECKPOINT")
+        from rsgnet_tpu.utils.checkpoint import load_checkpoint
+        state, epoch, best_perf = load_checkpoint(cfg.TRAIN.CHECKPOINT, state)
+        begin_epoch = epoch + 1
+        if logger:
+            logger.info("resumed from TRAIN.CHECKPOINT=%s at epoch %d "
+                        "(best %.4f)", cfg.TRAIN.CHECKPOINT, begin_epoch,
+                        best_perf)
 
     writer = _make_tb_writer(tb_dir)
     # build the eval function ONCE — per-epoch rebuilds would retrace and

@@ -43,10 +43,15 @@ def make_multistep_lr(cfg: Config, steps_per_epoch: int):
 def make_optimizer(cfg: Config, steps_per_epoch: int = 1000):
     sched = make_multistep_lr(cfg, steps_per_epoch)
     if cfg.TRAIN.OPTIMIZER.lower() == "adam":
-        tx = optax.adam(sched)
+        tx = optax.adam(sched)                 # reference Adam takes no WD
     elif cfg.TRAIN.OPTIMIZER.lower() == "sgd":
-        tx = optax.sgd(sched, momentum=cfg.TRAIN.MOMENTUM,
-                       nesterov=cfg.TRAIN.NESTEROV)
+        # reference get_optimizer: SGD(lr, momentum, weight_decay=WD,
+        # nesterov) — torch adds wd*param to the gradient BEFORE the
+        # momentum buffer, which is exactly add_decayed_weights -> sgd
+        tx = optax.chain(
+            optax.add_decayed_weights(cfg.TRAIN.WD),
+            optax.sgd(sched, momentum=cfg.TRAIN.MOMENTUM,
+                      nesterov=cfg.TRAIN.NESTEROV))
     else:
         raise KeyError(cfg.TRAIN.OPTIMIZER)
     # HRNet has ~1200 parameter leaves; per-leaf optimizer ops dominate the

@@ -106,12 +106,22 @@ class KeypointEval:
                                  or area > area_rng[1]) else 0
 
         gt_order = np.argsort([g["_ignore"] for g in gts], kind="mergesort")
+        dt_order = np.argsort([-d["score"] for d in dts],
+                              kind="mergesort")[:self.max_dets]
+        # OKS is independent of the area range; compute it ONCE per image in
+        # original ann order and reindex per range (pycocotools computes IoUs
+        # once and reuses them across the 3 COCO area ranges)
+        base = self._oks_cache.get(img_id)
+        if base is None:
+            base = (self._compute_oks(dts, gts) if (dts and gts)
+                    else np.zeros((len(dts), len(gts))))
+            self._oks_cache[img_id] = base
         gts = [gts[i] for i in gt_order]
-        dt_order = np.argsort([-d["score"] for d in dts], kind="mergesort")
-        dts = [dts[i] for i in dt_order[:self.max_dets]]
+        dts = [dts[i] for i in dt_order]
         iscrowd = [int(g.get("iscrowd", 0)) for g in gts]
 
-        ious = self._compute_oks(dts, gts) if (dts and gts) else np.zeros((0, 0))
+        ious = (base[np.ix_(dt_order, gt_order)] if base.size
+                else np.zeros((len(dts), len(gts))))
 
         t_n, g_n, d_n = len(self.iou_thrs), len(gts), len(dts)
         gtm = np.zeros((t_n, g_n))
@@ -154,6 +164,7 @@ class KeypointEval:
 
     def evaluate(self):
         """Match every image under every area range; cache per-image results."""
+        self._oks_cache = {}
         self._eval_imgs = {
             (ai, img_id): self._evaluate_img(img_id, rng)
             for ai, rng in enumerate(self.area_rngs)
@@ -245,8 +256,13 @@ class KeypointEval:
                 stats[f"AR ({lbl[0].upper()})"] = ar(ai)
         if crowd_index_ranges:
             for lbl, (lo, hi) in crowd_index_ranges.items():
-                ids = [i for i in self.img_ids
-                       if lo <= self.gt.imgs[i].get("crowdIndex", 0.0) <= hi]
+                # half-open [lo, hi) so the splits PARTITION the images —
+                # boundary crowdIndex values must not be double-counted;
+                # the final bin closes at 1.0 inclusively
+                def in_range(ci, lo=lo, hi=hi):
+                    return lo <= ci < hi or (hi >= 1.0 and ci == hi)
+                ids = [i for i in self.img_ids if in_range(
+                    self.gt.imgs[i].get("crowdIndex", 0.0))]
                 p, _ = self._accumulate_subset(0, ids)
                 stats[f"AP ({lbl})"] = self._mean_valid(p)
         self.stats = stats

@@ -60,6 +60,8 @@ from typing import Any
 import jax.numpy as jnp
 import flax.linen as nn
 
+from rsgnet_tpu.models.hrnet import ConvBN
+
 
 class SkeletonGCNLayer(nn.Module):
     features: int
@@ -121,12 +123,10 @@ class RSGHead(nn.Module):
         y = jnp.concatenate([feats.astype(self.dtype),
                              ctx.astype(self.dtype)], axis=-1)
         for i in range(self.refine_blocks):
-            y = nn.Conv(cn, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
-                        dtype=self.dtype, name=f"refine{i}_conv")(y)
-            y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, dtype=jnp.float32,
-                             name=f"refine{i}_bn")(y)
-            y = nn.relu(y)
+            # same conv/bn/relu recipe as the backbone — reuse ConvBN so BN
+            # settings / dtype policy stay defined in one place
+            y = ConvBN(cn, 3, 1, dtype=self.dtype,
+                       name=f"refine{i}")(y, train)
         delta = nn.Conv(k, (1, 1), dtype=jnp.float32, name="delta")(y)
         final = initial_heatmaps + delta.astype(jnp.float32)
         return final, initial_heatmaps

@@ -168,8 +168,7 @@ def _solve_affine_jax(src, dst):
     ones = jnp.ones(src.shape[:-1] + (1,), src.dtype)
     A = jnp.concatenate([src, ones], axis=-1)          # (..., 3, 3)
     # Solve A @ X = dst for X (3x2), transpose to (2, 3).
-    X = jnp.linalg.solve(A.astype(jnp.float64) if A.dtype == jnp.float64 else A,
-                         dst)
+    X = jnp.linalg.solve(A, dst)
     return jnp.swapaxes(X, -1, -2)
 
 

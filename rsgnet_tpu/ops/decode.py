@@ -130,6 +130,10 @@ def get_final_preds_jax(heatmaps_nhwc, center, scale, *,
 
     Returns preds (N, K, 2) in original-image coords and maxvals (N, K, 1).
     """
+    # reference get_final_preds applies ANY sub-pixel refinement (DARK or
+    # quarter-offset) only under TEST.POST_PROCESS; post_process=False is
+    # the raw-argmax ablation and must bypass DARK too
+    use_dark = use_dark and post_process
     if use_dark and use_pallas:
         from rsgnet_tpu.ops.pallas import dark_decode_pallas
         # Mosaic compiles on TPU backends (incl. tunneled ones, e.g. 'axon');

@@ -150,7 +150,11 @@ def oks_nms_jax(kpts, scores, areas, sigmas, thresh, valid=None,
         valid = jnp.ones((m,), bool)
     oks = oks_matrix_jax(kpts, jnp.asarray(areas, jnp.float32), sigmas,
                          in_vis_thre=in_vis_thre)
-    order = jnp.argsort(-scores)                     # descending
+    # descending, with the ORACLE's tie-break: NumPy's ascending stable
+    # argsort reversed puts the HIGHER index first among equal scores;
+    # jnp.argsort(-scores) (stable) would put the lower index first and the
+    # device kernel would keep a different instance of a tied pair
+    order = jnp.argsort(scores, stable=True)[::-1]
     # oks reordered so row/col i = i-th best instance
     oks_sorted = oks[order][:, order]
     valid_sorted = valid[order]
@@ -282,7 +286,9 @@ def soft_oks_nms_jax(kpts, scores, areas, sigmas, thresh, valid=None,
 
     def body(_, state):
         live_scores, out_scores, keep = state
-        i = jnp.argmax(live_scores)
+        # oracle tie-break: scores.argsort()[::-1] picks the HIGHEST index
+        # among equal scores; plain argmax would pick the lowest
+        i = m - 1 - jnp.argmax(live_scores[::-1])
         ok = live_scores[i] > neg_inf / 2
         decay = jnp.exp(-(oks[i] ** 2) / thresh)
         new_live = jnp.where(ok, live_scores * decay, live_scores)

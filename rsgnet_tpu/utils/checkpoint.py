@@ -92,7 +92,10 @@ def load_weights(cfg, model, model_file: str):
         from rsgnet_tpu.utils.torch_convert import (convert_state_dict,
                                                     load_torch_checkpoint)
         sd = load_torch_checkpoint(model_file)
-        nest = "backbone" if cfg.MODEL.NAME == "pose_rsgnet" else None
+        # nest by the ACTUAL params structure, not MODEL.NAME — RSG can also
+        # be enabled via MODEL.RSG.ENABLED, and a wrong guess would merge the
+        # backbone tensors as ignored orphans (silently-random backbone)
+        nest = "backbone" if "backbone" in variables["params"] else None
         params, stats = convert_state_dict(cfg, sd, nest_under=nest)
         merged_p = dict(variables["params"])
         merged_s = dict(variables["batch_stats"])

@@ -132,3 +132,13 @@ def test_fit_one_epoch_and_resume(fixture_root, tmp_path):
     state2, _ = fit(cfg, model, train_ds, val_dataset=None,
                     output_dir=out, max_epochs=1)
     assert int(state2.step) == 0 or int(state2.step) == int(state.step)
+
+    # TRAIN.RESUME + TRAIN.CHECKPOINT (reference manual-resume path): a
+    # FRESH output dir, explicit checkpoint path -> resumes epoch/weights
+    cfg.TRAIN.RESUME = True
+    cfg.TRAIN.CHECKPOINT = os.path.join(out, "checkpoint.msgpack")
+    out2 = str(tmp_path / "run2")
+    state3, _ = fit(cfg, model, train_ds, val_dataset=None,
+                    output_dir=out2, max_epochs=1)
+    # epoch 0 already done per the loaded checkpoint; END capped at 1 -> noop
+    _tree_allclose(state.params, state3.params)

@@ -95,3 +95,24 @@ def test_get_final_preds_runs_and_maps_to_image():
     assert maxvals.shape == (2, 17, 1)
     preds_dark, _ = decode.get_final_preds_jax(hm, center, scale, use_dark=True)
     assert preds_dark.shape == (2, 17, 2)
+
+
+def test_dark_respects_post_process_false():
+    """Reference get_final_preds gates ALL sub-pixel refinement (DARK
+    included) under TEST.POST_PROCESS; post_process=False must return raw
+    argmax coordinates even with use_dark=True."""
+    import numpy as np
+    import jax.numpy as jnp
+    from rsgnet_tpu.ops.decode import (get_final_preds_jax,
+                                       get_max_preds_jax,
+                                       transform_preds_jax)
+
+    rng = np.random.RandomState(0)
+    hm = jnp.asarray(rng.uniform(0, 1, (2, 16, 12, 4)).astype(np.float32))
+    center = jnp.asarray(rng.uniform(80, 120, (2, 2)).astype(np.float32))
+    scale = jnp.asarray(rng.uniform(0.5, 1.0, (2, 2)).astype(np.float32))
+    raw, _ = get_max_preds_jax(hm)
+    want = transform_preds_jax(raw, center, scale, (12, 16))
+    got, _ = get_final_preds_jax(hm, center, scale, post_process=False,
+                                 use_dark=True, blur_kernel=11)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)

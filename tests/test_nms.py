@@ -132,3 +132,27 @@ def test_batched_soft_oks_nms_matches_per_image():
         for i, s in zip(idx, dec):
             np.testing.assert_allclose(s, oracle[int(i)], rtol=1e-4,
                                        atol=1e-5)
+
+
+def test_device_nms_tie_break_matches_oracle():
+    """Equal-score duplicates: NumPy's argsort()[::-1] keeps the HIGHER
+    index; the device kernel must agree (stable-sort tie-break)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from rsgnet_tpu.data.skeletons import get_spec
+    from rsgnet_tpu.ops.nms import oks_nms_jax, oks_nms_np
+
+    spec = get_spec("coco")
+    rng = np.random.RandomState(0)
+    kp = rng.uniform(50, 150, (1, 17, 3)).astype(np.float32)
+    kp[..., 2] = 0.9
+    kpts = np.concatenate([kp, kp, kp], axis=0)       # 3 identical instances
+    scores = np.array([0.7, 0.7, 0.7], np.float32)    # all tied
+    areas = np.full((3,), 900.0, np.float32)
+    db = [{"keypoints": kpts[i], "score": scores[i], "area": areas[i]}
+          for i in range(3)]
+    keep_np = oks_nms_np(db, 0.9, spec.sigmas)
+    keep_jax = np.where(np.asarray(oks_nms_jax(
+        jnp.asarray(kpts), jnp.asarray(scores), jnp.asarray(areas),
+        spec.sigmas, 0.9)))[0]
+    assert sorted(keep_np) == sorted(keep_jax.tolist()), (keep_np, keep_jax)

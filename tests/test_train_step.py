@@ -199,3 +199,25 @@ def test_fit_one_epoch_on_8dev_mesh(tmp_path):
                    output_dir=str(tmp_path / "out"), num_workers=2,
                    max_epochs=1, mesh=mesh)
     assert int(state.step) == 2
+
+
+def test_sgd_weight_decay_matches_torch_semantics():
+    """Reference SGD applies weight_decay to the gradient BEFORE momentum;
+    with zero gradients the first update must be -lr * wd * param."""
+    import jax.numpy as jnp
+    from rsgnet_tpu.config.defaults import tiny_rsgnet
+    from rsgnet_tpu.core.train import make_optimizer
+
+    cfg = tiny_rsgnet()
+    cfg.TRAIN.OPTIMIZER = "sgd"
+    cfg.TRAIN.LR = 0.1
+    cfg.TRAIN.WD = 0.01
+    cfg.TRAIN.LR_STEP = (1000,)
+    tx = make_optimizer(cfg, steps_per_epoch=1)
+    params = {"w": jnp.asarray([2.0, -4.0])}
+    state = tx.init(params)
+    zero_g = {"w": jnp.zeros(2)}
+    updates, _ = tx.update(zero_g, state, params)
+    np.testing.assert_allclose(np.asarray(updates["w"]),
+                               -0.1 * 0.01 * np.asarray(params["w"]),
+                               rtol=1e-6)
