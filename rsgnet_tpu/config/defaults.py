@@ -211,6 +211,27 @@ _ACCEPTED_UNREAD_KEYS = {
     "CUDNN.ENABLED": "cuDNN knob with no TPU counterpart",
     "PIN_MEMORY": "host staging is managed by the prefetch loader",
     "RANK": "single-controller JAX runtime; no torch.distributed rank",
+    "MODEL.TAG_PER_JOINT": "bottom-up (associative-embedding) leftover; the "
+                           "reference top-down path never reads it either",
+    "DATASET.DATA_FORMAT": "zip-archive inputs are auto-detected from "
+                           "'archive.zip@/member' paths instead",
+    "DATASET.HYBRID_JOINTS_TYPE": "reference dataset option not used by the "
+                                  "COCO/CrowdPose configs",
+    "DATASET.SELECT_DATA": "the reference's select_data training-sample "
+                           "filter heuristic is not implemented",
+    "TRAIN.GAMMA1": "the reference defines but never reads it (Adam runs on "
+                    "default betas there too)",
+    "TRAIN.GAMMA2": "the reference defines but never reads it",
+}
+
+# Keys that ARE semantically meaningful but for which only ONE value is
+# implemented (matching the reference, which implements only these values
+# as well) — any other value must fail loudly, not silently no-op.
+_SINGLE_VALUE_KEYS = {
+    "MODEL.TARGET_TYPE": "gaussian",
+    "MODEL.EXTRA.STAGE2.FUSE_METHOD": "SUM",
+    "MODEL.EXTRA.STAGE3.FUSE_METHOD": "SUM",
+    "MODEL.EXTRA.STAGE4.FUSE_METHOD": "SUM",
 }
 
 
@@ -238,6 +259,11 @@ def _merge(obj: Any, d: dict, path=""):
                     f"compatibility but read nowhere — setting it to {v!r} "
                     f"changes nothing ({_ACCEPTED_UNREAD_KEYS[full]})",
                     stacklevel=2)
+            if full in _SINGLE_VALUE_KEYS and v != _SINGLE_VALUE_KEYS[full]:
+                raise ValueError(
+                    f"config key {full}={v!r}: only "
+                    f"{_SINGLE_VALUE_KEYS[full]!r} is implemented (same as "
+                    f"the reference); refusing to silently ignore it")
             setattr(obj, k, v)
     return obj
 

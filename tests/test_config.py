@@ -87,3 +87,24 @@ def test_unread_config_keys_warn():
         update_config(Config(), {"TEST": {"BBOX_THRE": 1.0},
                                  "CUDNN": {"BENCHMARK": True}})
     assert not w, [str(x.message) for x in w]
+
+
+def test_single_value_keys_rejected():
+    """Keys the reference also implements for exactly one value must FAIL
+    loudly on any other value (not silently no-op)."""
+    from rsgnet_tpu.config.defaults import Config, update_config
+    with pytest.raises(ValueError):
+        update_config(Config(), {"MODEL": {"TARGET_TYPE": "offset"}})
+    with pytest.raises(ValueError):
+        update_config(Config(), {"MODEL": {"EXTRA": {"STAGE2": {
+            "FUSE_METHOD": "CAT"}}}})
+    # the implemented values pass
+    update_config(Config(), {"MODEL": {"TARGET_TYPE": "gaussian"}})
+
+
+def test_unread_reference_keys_warn():
+    from rsgnet_tpu.config.defaults import Config, update_config
+    with pytest.warns(UserWarning, match="read nowhere"):
+        update_config(Config(), {"TRAIN": {"GAMMA1": 0.5}})
+    with pytest.warns(UserWarning, match="read nowhere"):
+        update_config(Config(), {"DATASET": {"SELECT_DATA": True}})
