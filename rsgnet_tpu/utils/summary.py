@@ -27,11 +27,18 @@ def get_model_summary(cfg, model, variables=None, batch_size: int = 1) -> str:
     try:
         lowered = jax.jit(
             lambda v, x: model.apply(v, x, train=False)).lower(variables, x)
-        cost = lowered.compile().cost_analysis()
+        compiled = lowered.compile()
+        cost = compiled.cost_analysis()
         if cost:
             flops = cost.get("flops", 0.0)
             lines.append(f"  forward FLOPs (XLA): {flops / 1e9:.2f} G "
                          f"({flops / batch_size / 1e9:.2f} G/image)")
-    except Exception:   # cost analysis is best-effort across backends
+        mem = compiled.memory_analysis()
+        if mem is not None:
+            lines.append(
+                f"  memory (XLA): {mem.argument_size_in_bytes / 1e6:.1f} MB "
+                f"args + {mem.temp_size_in_bytes / 1e6:.1f} MB temp + "
+                f"{mem.output_size_in_bytes / 1e6:.1f} MB out")
+    except Exception:   # cost/memory analysis is best-effort across backends
         pass
     return "\n".join(lines)
