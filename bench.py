@@ -104,15 +104,17 @@ def bench_train(cfg, model):
     key = jax.random.PRNGKey(0)
     state = create_train_state(cfg, model, jax.random.PRNGKey(0))
     step = make_train_step(cfg, model, get_spec("coco"))
-    state, m = step(state, batches[0], key)
-    np.asarray(m["loss"])                        # compile + settle
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state, m = step(state, batches[i % 3], key)
-    loss = np.asarray(m["loss"])
-    dt = time.perf_counter() - t0
-    assert np.isfinite(loss)
-    ips = b * iters / dt
+    # the ONE shared implementation of the pipelined scalar-fetch protocol
+    # (tools/_profiling.py) — duplicating it here risks silent divergence
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from _profiling import timeit_pipelined_step
+    dt = timeit_pipelined_step("train step (pipelined)", step, state,
+                               [(bt, key) for bt in batches], iters=iters,
+                               batch=b)
+    ips = b / dt
     print(json.dumps({
         "metric": "train_step_images_per_sec_per_chip",
         "value": round(ips, 2),

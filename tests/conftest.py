@@ -11,9 +11,13 @@ import os
 # enough — jax.config.update('jax_platforms', ...) after import wins.
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8").strip()
+_tok = "--xla_force_host_platform_device_count"
+if _tok in _flags:
+    # a pre-existing pin may name a SMALLER count — replace it, don't keep it
+    import re as _re
+    os.environ["XLA_FLAGS"] = _re.sub(rf"{_tok}=\d+", f"{_tok}=8", _flags)
+else:
+    os.environ["XLA_FLAGS"] = f"{_flags} {_tok}=8".strip()
 
 import jax  # noqa: E402
 

@@ -51,7 +51,7 @@ def test_augment_batch_shapes_and_ranges():
     aug = augment_batch(jax.random.PRNGKey(0), batch["image"],
                         batch["joints"], batch["joints_vis"],
                         batch["center"], batch["scale"], cfg, COCO)
-    assert aug.inputs.shape == (8, 64, 64, 17)[0:1] + (64, 64, 3)
+    assert aug.inputs.shape == (8, 64, 64, 3)
     assert aug.target.shape == (8, 16, 16, 17)
     assert aug.target_weight.shape == (8, 17)
     assert bool(jnp.isfinite(aug.inputs).all())

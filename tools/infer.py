@@ -24,7 +24,12 @@ def parse_args():
                    help="run on a synthetic image")
     p.add_argument("--tiny", action="store_true",
                    help="tiny topology (fast smoke)")
-    return p.parse_args()
+    args = p.parse_args()
+    if not args.demo and not args.image:
+        p.error("one of --demo or --image is required")
+    if args.image and not args.box:
+        p.error("--image requires --box x,y,w,h")
+    return args
 
 
 def main():

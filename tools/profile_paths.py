@@ -182,6 +182,10 @@ def main():
                [(x, tgt_hm, tgt_w) for x in inputs])
 
     # --- e2e eval fn (small outputs; materialized directly) ------------------
+    # NOTE: `variables` above aliases buffers that the donated train-step
+    # timings deleted on donation-honoring backends (TPU) — rebuild fresh
+    fresh = create_train_state(cfg, model, jax.random.PRNGKey(0))
+    variables = {"params": fresh.params, "batch_stats": fresh.batch_stats}
     from rsgnet_tpu.core.inference import make_e2e_fn
     e2e = make_e2e_fn(cfg, model, (SRC, SRC))
 
