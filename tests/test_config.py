@@ -108,3 +108,20 @@ def test_unread_reference_keys_warn():
         update_config(Config(), {"TRAIN": {"GAMMA1": 0.5}})
     with pytest.warns(UserWarning, match="read nowhere"):
         update_config(Config(), {"DATASET": {"SELECT_DATA": True}})
+
+
+def test_config_doc_in_sync():
+    """CONFIG.md is generated from the dataclasses; regeneration must match
+    the committed file (run tools/gen_config_doc.py after config changes)."""
+    import io
+    import os
+    import sys
+    from contextlib import redirect_stdout
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import gen_config_doc
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        gen_config_doc.main()
+    committed = open(os.path.join(REPO, "CONFIG.md")).read()
+    assert buf.getvalue().strip() == committed.strip(), \
+        "CONFIG.md is stale — regenerate with tools/gen_config_doc.py"

@@ -49,6 +49,19 @@ def test_export_roundtrip_matches_direct_inference(tmp_path):
                                    rtol=1e-5, atol=1e-5)
 
 
+def test_export_multi_platform_from_cpu():
+    """platforms=("cpu","tpu"): a CI host without a TPU can build ONE
+    artifact deployable on both (jax.export cross-platform lowering)."""
+    cfg, model, variables, (h, w) = _setup()
+    blob = export_inference(cfg, model, variables, platforms=("cpu", "tpu"))
+    served = load_exported(blob)
+    x = jnp.zeros((2, h, w, 3), jnp.float32)
+    c = jnp.full((2, 2), 100.0)
+    s = jnp.full((2, 2), 1.0)
+    p, m = served(x, c, s)
+    assert np.asarray(p).shape == (2, cfg.MODEL.NUM_JOINTS, 2)
+
+
 def test_export_raw_uint8_variant():
     cfg, model, variables, (h, w) = _setup()
     blob = export_inference(cfg, model, variables, normalize_input=True)
