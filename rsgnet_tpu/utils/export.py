@@ -60,6 +60,30 @@ def export_inference(cfg: Config, model, variables, platforms=None,
     return bytes(exp.serialize())
 
 
+def export_e2e(cfg: Config, model, variables, src_size, platforms=None):
+    """Serialize the END-TO-END pipeline: raw padded uint8 sources + boxes
+    (center/scale) -> keypoints, with the separable device warp fused in —
+    i.e. detector output straight to coordinates, no host preprocessing.
+
+    src_size: static (H, W) of the padded source images (e.g. (640, 640)).
+    The batch dimension is symbolic like ``export_inference``.
+    """
+    from rsgnet_tpu.core.inference import make_e2e_fn
+    e2e = make_e2e_fn(cfg, model, src_size, jit=False)
+
+    def serve(images, centers, scales):
+        return e2e(variables, images, centers, scales)
+
+    (b,) = jax_export.symbolic_shape("b")
+    args = (
+        jax.ShapeDtypeStruct((b, src_size[0], src_size[1], 3), jnp.uint8),
+        jax.ShapeDtypeStruct((b, 2), jnp.float32),
+        jax.ShapeDtypeStruct((b, 2), jnp.float32),
+    )
+    exp = jax_export.export(jax.jit(serve), platforms=platforms)(*args)
+    return bytes(exp.serialize())
+
+
 def load_exported(blob: bytes):
     """Deserialize an artifact; returns fn(images, centers, scales)."""
     exp = jax_export.deserialize(blob)

@@ -73,3 +73,26 @@ def test_export_raw_uint8_variant():
     p, m = served(images, centers, scales)
     assert np.isfinite(np.asarray(p)).all()
     assert np.asarray(m).shape == (3, cfg.MODEL.NUM_JOINTS, 1)
+
+
+def test_export_e2e_pipeline():
+    """End-to-end artifact: raw padded uint8 sources + boxes -> keypoints
+    (separable device warp fused in), parity vs make_e2e_fn."""
+    from rsgnet_tpu.core.inference import make_e2e_fn
+    from rsgnet_tpu.utils.export import export_e2e
+
+    cfg, model, variables, _ = _setup()
+    src = (96, 96)
+    blob = export_e2e(cfg, model, variables, src)
+    served = load_exported(blob)
+    rng = np.random.RandomState(2)
+    imgs = jnp.asarray(rng.randint(0, 256, (3, 96, 96, 3)).astype(np.uint8))
+    centers = jnp.asarray(rng.uniform(30, 66, (3, 2)).astype(np.float32))
+    scales = jnp.asarray(rng.uniform(0.2, 0.4, (3, 2)).astype(np.float32))
+    p1, m1 = served(imgs, centers, scales)
+    direct = make_e2e_fn(cfg, model, src)
+    p0, m0 = direct(variables, imgs, centers, scales)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p0),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m0),
+                               rtol=1e-5, atol=1e-5)

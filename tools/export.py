@@ -32,15 +32,25 @@ def main():
     ap.add_argument("--raw-uint8", action="store_true",
                     help="artifact accepts raw uint8 crops and normalizes "
                          "on device")
+    ap.add_argument("--e2e", action="store_true",
+                    help="export the END-TO-END pipeline: raw padded uint8 "
+                         "sources + boxes -> keypoints (device warp fused)")
+    ap.add_argument("--src-size", type=int, nargs=2, default=(640, 640),
+                    metavar=("H", "W"), help="padded source size for --e2e")
     args = ap.parse_args()
 
     cfg = load_config(args.cfg)
     model = get_pose_net(cfg)
     from rsgnet_tpu.utils.checkpoint import load_weights
     variables = load_weights(cfg, model, args.model_file)
-    blob = export_inference(cfg, model, variables,
-                            platforms=args.platforms,
-                            normalize_input=args.raw_uint8)
+    if args.e2e:
+        from rsgnet_tpu.utils.export import export_e2e
+        blob = export_e2e(cfg, model, variables, tuple(args.src_size),
+                          platforms=args.platforms)
+    else:
+        blob = export_inference(cfg, model, variables,
+                                platforms=args.platforms,
+                                normalize_input=args.raw_uint8)
     save_exported(args.out, blob)
     print(f"wrote {args.out} ({len(blob) / 1e6:.1f} MB, "
           f"platforms={args.platforms or [jax.default_backend()]})")
