@@ -46,7 +46,9 @@ the classic two-pass one: pass B blends rows that pass A sampled at slightly
 sheared u positions (offset B*frac(v)), i.e. bilinear on a SHEARED lattice
 rather than the axis-aligned square. Consequences, validated in
 tests/test_shear_warp.py:
-  - rot == 0, +-90, and flips: bit-identical to ``affine_warp_batch``;
+  - rot == 0, +-90, and flips: identical to ``affine_warp_batch`` within
+    ~2e-5 absolute (0-255 scale) — the bf16x3 selection decomposition's
+    reconstruction bound; 8-bit sources select exactly;
   - intermediate angles: mean |err| ~0.05-0.3 (0-255 scale) on smooth
     images, larger only where the footprint crosses the zero border
     (cv2's own border feather composes per-pass there).
@@ -69,8 +71,6 @@ import jax
 import jax.numpy as jnp
 
 from rsgnet_tpu.ops.warp import invert_affine
-
-_HIGH = jax.lax.Precision.HIGHEST
 
 
 def _roll_by_bits(x, k, axis, size):
@@ -102,7 +102,7 @@ def _tap_weights(fp, fs):
     return w0, w1, w2
 
 
-def _resample_pass(x, p, s, axis, out_n, precision):
+def _resample_pass(x, p, s, axis, out_n):
     """One exact 1-D resampling pass at positions ``p + s``.
 
     x: (B, D1, D2, C) fp-or-int array; the sampled axis is ``axis`` (2 for
@@ -129,29 +129,37 @@ def _resample_pass(x, p, s, axis, out_n, precision):
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, out_n, size), 2)
     hot = (iota == jnp.mod(pi, size)[:, :, None]).astype(jnp.float32)
 
-    # The one-hot matmul is pure SELECTION (one nonzero per row), so for
-    # 8-bit sources it is EXACT at bf16 MXU rate: values <= 255 are exactly
-    # representable in bf16 and each output element is a single product of
-    # an exact 0/1 weight with an exact value (fp32 accumulate). Wider
-    # integer types are NOT bf16-exact — they take the fp32 path like
-    # floats, keeping the caller's precision (HIGHEST = exact fp32).
-    if jnp.issubdtype(x.dtype, jnp.integer) and x.dtype.itemsize == 1:
-        dtype, prec = jnp.bfloat16, jax.lax.Precision.DEFAULT
-        hot = hot.astype(jnp.bfloat16)
-    else:
-        dtype, prec = jnp.float32, precision
+    # The one-hot matmul is pure SELECTION (one nonzero per row), so it is
+    # exact whenever the DATA operand is exactly representable at the matmul
+    # precision:
+    #  - 8-bit sources: values <= 255 are exact in bf16 -> ONE bf16 pass;
+    #  - float sources (pass B's fp32 intermediates): decompose the data
+    #    into three bf16 components (hi + mid + lo reconstructs fp32 to
+    #    ~2^-24 relative) and select each at bf16 rate -- 3 single-pass
+    #    matmuls instead of fp32-HIGHEST's 6, result within ~2e-5 absolute
+    #    on a 0-255 scale.
+    eq = "bxc,brcd->brxd" if axis == 2 else "byr,brxc->byxc"
+
+    def select(hot_m, data):
+        return jnp.einsum(eq, hot_m, data,
+                          precision=jax.lax.Precision.DEFAULT,
+                          preferred_element_type=jnp.float32)
+
+    int8_src = jnp.issubdtype(x.dtype, jnp.integer) and x.dtype.itemsize == 1
+    hot16 = hot.astype(jnp.bfloat16)
     taps = []
     for j in range(3):
         xj = x1 if j == 0 else jnp.roll(x1, -j, axis=axis)
-        xj = jnp.asarray(xj, dtype)
-        if axis == 2:
-            # (B, out_n, S) x (B, S_rows, S, C) -> (B, S_rows, out_n, C)
-            taps.append(jnp.einsum("bxc,brcd->brxd", hot, xj, precision=prec,
-                                   preferred_element_type=jnp.float32))
+        if int8_src:
+            taps.append(select(hot16, jnp.asarray(xj, jnp.bfloat16)))
         else:
-            # (B, out_n, S) x (B, S, W, C) -> (B, out_n, W, C)
-            taps.append(jnp.einsum("byr,brxc->byxc", hot, xj, precision=prec,
-                                   preferred_element_type=jnp.float32))
+            xf = jnp.asarray(xj, jnp.float32)
+            hi = xf.astype(jnp.bfloat16)
+            r1 = xf - hi.astype(jnp.float32)
+            mid = r1.astype(jnp.bfloat16)
+            lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+            taps.append(select(hot16, hi) + select(hot16, mid)
+                        + select(hot16, lo))
 
     # weights + true-source-index validity, broadcast to (B, rows, cols)
     if axis == 2:
@@ -171,16 +179,13 @@ def _resample_pass(x, p, s, axis, out_n, precision):
     return out
 
 
-def shear_warp_batch(images, trans, out_size, precision=_HIGH):
+def shear_warp_batch(images, trans, out_size):
     """Gather-free batched affine warp, exact vs ``affine_warp_batch``.
 
     Args:
       images: (N, S, S, C) SQUARE source images, any real/integer dtype.
       trans: (N, 2, 3) src->dst affine matrices (``get_affine_transform``).
       out_size: static (out_w, out_h).
-      precision: einsum precision for the tap selections. HIGHEST keeps
-        fp32 sources exact; uint8 sources are exact at any precision that
-        preserves 8-bit integers (bf16 does).
 
     Returns (N, out_h, out_w, C) float32, zeros outside the source.
     """
@@ -209,12 +214,11 @@ def shear_warp_batch(images, trans, out_size, precision=_HIGH):
     rs = jnp.arange(size, dtype=jnp.float32)
     p_a = a[:, None] * xs[None, :]                            # (N, out_w)
     s_a = bb[:, None] * rs[None, :] + cc[:, None]             # (N, S)
-    inter = _resample_pass(x, p_a, s_a, axis=2, out_n=out_w,
-                           precision=precision)               # (N, S, out_w, C)
+    inter = _resample_pass(x, p_a, s_a, axis=2, out_n=out_w)  # (N,S,out_w,C)
 
     # ---- pass B: resample rows at V = (m11 y + m12) + m10 x
     ys = jnp.arange(out_h, dtype=jnp.float32)
     p_b = m11[:, None] * ys[None, :] + m12[:, None]           # (N, out_h)
     s_b = m10[:, None] * xs[None, :]                          # (N, out_w)
-    return _resample_pass(inter, p_b, s_b, axis=1, out_n=out_h,
-                          precision=precision)                # (N, out_h, out_w, C)
+    return _resample_pass(inter, p_b, s_b, axis=1,
+                          out_n=out_h)                       # (N, out_h, out_w, C)
