@@ -44,8 +44,12 @@ double oks_pair(const float* g, const float* d, double a_g, double a_d,
 std::vector<int> score_order(const float* scores, int m) {
   std::vector<int> order(m);
   std::iota(order.begin(), order.end(), 0);
-  std::stable_sort(order.begin(), order.end(),
-                   [&](int a, int b) { return scores[a] > scores[b]; });
+  // Tie-break matches the NumPy oracle (ascending stable argsort, reversed):
+  // among equal scores the HIGHEST index comes first. The JAX device kernels
+  // implement the same rule, so all three paths agree on quantized scores.
+  std::stable_sort(order.begin(), order.end(), [&](int a, int b) {
+    return scores[a] > scores[b] || (scores[a] == scores[b] && a > b);
+  });
   return order;
 }
 
@@ -88,9 +92,11 @@ int soft_oks_nms(const float* kpts, const float* scores, const float* areas,
   int n_keep = 0;
   while (n_keep < max_dets) {
     int best = -1;
-    double best_s = -1.0;
+    double best_s = 0.0;
     for (int i = 0; i < m; ++i) {
-      if (!used[i] && live[i] > best_s) {
+      // >= : among equal scores the HIGHEST index wins, matching the NumPy
+      // oracle's reversed stable argsort and the JAX device kernel.
+      if (!used[i] && (best < 0 || live[i] >= best_s)) {
         best_s = live[i];
         best = i;
       }

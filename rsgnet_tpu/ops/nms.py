@@ -52,7 +52,11 @@ def oks_nms_np(kpts_db, thresh, sigmas, in_vis_thre=None):
     scores = np.array([k['score'] for k in kpts_db])
     kpts = np.array([k['keypoints'].flatten() for k in kpts_db])
     areas = np.array([k['area'] for k in kpts_db])
-    order = scores.argsort()[::-1]
+    # kind='stable' pins the tie order (ascending stable, then reversed =>
+    # HIGHEST index first among equal scores); the default quicksort would
+    # leave ties implementation-defined and the device/C++ kernels could
+    # only match it by luck (ADVICE round-2)
+    order = scores.argsort(kind="stable")[::-1]
     keep = []
     while order.size > 0:
         i = order[0]
@@ -71,7 +75,7 @@ def soft_oks_nms_np(kpts_db, thresh, sigmas, in_vis_thre=None, max_dets=20):
     scores = np.array([k['score'] for k in kpts_db], dtype=np.float64)
     kpts = np.array([k['keypoints'].flatten() for k in kpts_db])
     areas = np.array([k['area'] for k in kpts_db])
-    order = scores.argsort()[::-1]
+    order = scores.argsort(kind="stable")[::-1]
     scores = scores[order]
     keep = np.zeros(max_dets, dtype=np.intp)
     kept_scores = np.zeros(max_dets, dtype=np.float64)
@@ -83,7 +87,7 @@ def soft_oks_nms_np(kpts_db, thresh, sigmas, in_vis_thre=None, max_dets=20):
         kept_scores[keep_cnt] = scores[0]       # decayed score at selection
         order = order[1:]
         scores = _rescore(oks_ovr, scores[1:], thresh)
-        tmp = scores.argsort()[::-1]
+        tmp = scores.argsort(kind="stable")[::-1]
         order = order[tmp]
         scores = scores[tmp]
         keep[keep_cnt] = i
@@ -150,7 +154,7 @@ def oks_nms_jax(kpts, scores, areas, sigmas, thresh, valid=None,
         valid = jnp.ones((m,), bool)
     oks = oks_matrix_jax(kpts, jnp.asarray(areas, jnp.float32), sigmas,
                          in_vis_thre=in_vis_thre)
-    # descending, with the ORACLE's tie-break: NumPy's ascending stable
+    # descending, with the ORACLE's tie-break: the oracle's ascending STABLE
     # argsort reversed puts the HIGHER index first among equal scores;
     # jnp.argsort(-scores) (stable) would put the lower index first and the
     # device kernel would keep a different instance of a tied pair

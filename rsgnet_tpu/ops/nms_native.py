@@ -43,9 +43,15 @@ def get_lib():
     with _LOCK:
         if _LIB is not None:
             return _LIB or None
-        if not os.path.exists(_LIB_PATH) and not _build():
-            _LIB = False
-            return None
+        src = os.path.join(_CSRC, "oks_nms.cpp")
+        stale = (os.path.exists(_LIB_PATH) and os.path.exists(src)
+                 and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH))
+        if (stale or not os.path.exists(_LIB_PATH)) and not _build():
+            # a stale binary would silently keep old semantics; only fall
+            # back to it when no compiler exists at all
+            if not os.path.exists(_LIB_PATH):
+                _LIB = False
+                return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)
         except OSError:

@@ -120,6 +120,48 @@ def test_duplicate_suppression():
     assert oks_nms_cpp(db, 0.9, SIGMAS) == [0]
 
 
+@pytest.mark.parametrize("seed", range(4))
+def test_exact_score_ties_three_way(seed):
+    """Quantized scores (every instance ties with several others): all three
+    implementations must agree — the tie-break is defined as 'highest index
+    first among equal scores' (the oracle's reversed stable argsort).
+    VERDICT round-2 item 8."""
+    import jax.numpy as jnp
+    from rsgnet_tpu.ops.nms import oks_nms_jax, soft_oks_nms_jax
+
+    m = 10
+    db = random_db(m, seed=seed, spread=50.0)
+    rng = np.random.RandomState(seed + 99)
+    for d in db:                          # 3 score levels over 10 instances
+        d["score"] = float(rng.choice([0.25, 0.5, 0.75]))
+
+    for thresh in (0.5, 0.9):
+        want = oks_nms_np(db, thresh, SIGMAS)
+        got = oks_nms_cpp(db, thresh, SIGMAS)
+        assert got == list(want), (seed, thresh)
+        kpts = np.stack([np.asarray(d["keypoints"], np.float32) for d in db])
+        scores = np.asarray([d["score"] for d in db], np.float32)
+        areas = np.asarray([d["area"] for d in db], np.float32)
+        keep_mask = np.asarray(oks_nms_jax(
+            jnp.asarray(kpts), jnp.asarray(scores), jnp.asarray(areas),
+            SIGMAS, thresh))
+        assert sorted(np.where(keep_mask)[0].tolist()) == sorted(want)
+
+    keep_n, sc_n = soft_oks_nms_np(db, 0.9, SIGMAS, max_dets=6)
+    keep_c, sc_c = soft_oks_nms_cpp(db, 0.9, SIGMAS, max_dets=6)
+    assert keep_c == list(keep_n), seed
+    np.testing.assert_allclose(sc_c, np.asarray(sc_n, np.float32), rtol=1e-5)
+    kpts = np.stack([np.asarray(d["keypoints"], np.float32) for d in db])
+    scores = np.asarray([d["score"] for d in db], np.float32)
+    areas = np.asarray([d["area"] for d in db], np.float32)
+    keep_j, sc_j = soft_oks_nms_jax(jnp.asarray(kpts), jnp.asarray(scores),
+                                    jnp.asarray(areas), SIGMAS, 0.9,
+                                    max_dets=6)
+    assert sorted(np.where(np.asarray(keep_j))[0].tolist()) == sorted(keep_n)
+    np.testing.assert_allclose(np.asarray(sc_j)[np.asarray(keep_n)],
+                               np.asarray(sc_n, np.float32), rtol=1e-4)
+
+
 def test_device_soft_nms_in_dataset_evaluate(tmp_path):
     """TEST.DEVICE_NMS + TEST.SOFT_NMS end-to-end through evaluate(): same
     AP as the host soft-NMS path (VERDICT round-1 item 6). Instances are

@@ -1,0 +1,155 @@
+"""Torch forward-oracle parity (VERDICT round-2 item 1).
+
+The expected output is defined by an INDEPENDENT NCHW PyTorch HRNet
+(``tests/torch_hrnet.py``, written from the public architecture with the
+reference tensor naming — SURVEY.md §2.7 expected ``lib/models/pose_hrnet.py``)
+— not by the builder's own code.  A random-init flax model's weights are
+exported with ``export_state_dict`` and loaded into the torch oracle; both
+forwards must agree to <=1e-4 in fp32 on CPU.  This catches semantic
+divergences (padding convention, BN eps/momentum, nearest-upsample, fusion
+order, transition chains) that no naming bijection can.
+"""
+import numpy as np
+import pytest
+
+from flax import traverse_util
+
+from rsgnet_tpu.config.defaults import Config, ModelExtra, StageConfig
+from rsgnet_tpu.models.hrnet import PoseHighResolutionNet
+from rsgnet_tpu.utils.torch_convert import (convert_state_dict,
+                                            export_state_dict)
+
+from torch_hrnet import torch_forward
+
+
+def _tiny_cfg():
+    cfg = Config()
+    cfg.DTYPE = "float32"
+    cfg.MODEL.NUM_JOINTS = 5
+    cfg.MODEL.IMAGE_SIZE = (64, 96)
+    cfg.MODEL.HEATMAP_SIZE = (16, 24)
+    cfg.MODEL.EXTRA = ModelExtra(
+        STAGE2=StageConfig(1, 2, (1, 1), (8, 16)),
+        STAGE3=StageConfig(2, 3, (1, 2, 1), (8, 16, 32)),
+        STAGE4=StageConfig(1, 4, (1, 1, 1, 1), (8, 16, 32, 64)),
+    )
+    return cfg
+
+
+def _w32_cfg():
+    # W32 topology (full module graph incl. 4-module stage3) at a small
+    # input — spatial size does not change the architecture under test.
+    cfg = Config()
+    cfg.DTYPE = "float32"
+    cfg.MODEL.IMAGE_SIZE = (64, 96)
+    cfg.MODEL.HEATMAP_SIZE = (16, 24)
+    return cfg
+
+
+def _w48_cfg():
+    cfg = _w32_cfg()
+    cfg.MODEL.EXTRA = ModelExtra(
+        STAGE2=StageConfig(1, 2, (4, 4), (48, 96)),
+        STAGE3=StageConfig(4, 3, (4, 4, 4), (48, 96, 192)),
+        STAGE4=StageConfig(3, 4, (4, 4, 4, 4), (48, 96, 192, 384)),
+    )
+    return cfg
+
+
+def _randomized_variables(cfg, seed):
+    """Init the flax model, then randomize EVERY leaf (incl. BN scale/bias
+    and the running statistics, which init to 1/0/0/1 and would otherwise
+    leave the BN mapping untested)."""
+    import jax
+
+    model = PoseHighResolutionNet(cfg)
+    h, w = cfg.MODEL.IMAGE_SIZE[1], cfg.MODEL.IMAGE_SIZE[0]
+    variables = model.init(jax.random.PRNGKey(seed),
+                           np.zeros((1, h, w, 3), np.float32), train=False)
+    rng = np.random.RandomState(seed)
+    out = {}
+    for col in ("params", "batch_stats"):
+        flat = traverse_util.flatten_dict(variables[col])
+        new = {}
+        for path, leaf in flat.items():
+            shape = np.shape(leaf)
+            if path[-1] == "var":
+                v = rng.uniform(0.5, 1.5, shape)
+            elif path[-1] == "scale":
+                v = rng.uniform(0.5, 1.5, shape)
+            elif path[-1] == "kernel":
+                fan_in = max(int(np.prod(shape[:-1])), 1)
+                v = rng.normal(0, 1.0 / np.sqrt(fan_in), shape)
+            else:                      # bias / mean
+                v = rng.normal(0, 0.1, shape)
+            new[path] = v.astype(np.float32)
+        out[col] = traverse_util.unflatten_dict(new)
+    return model, out
+
+
+def _flax_forward(cfg, model, variables, x_nhwc):
+    import jax
+    return np.asarray(jax.jit(
+        lambda v, x: model.apply(v, x, train=False))(variables, x_nhwc))
+
+
+@pytest.mark.parametrize("make_cfg,seed", [(_tiny_cfg, 0), (_w32_cfg, 1),
+                                           (_w48_cfg, 2)],
+                         ids=["tiny", "w32", "w48"])
+def test_flax_matches_independent_torch_oracle(make_cfg, seed):
+    cfg = make_cfg()
+    model, variables = _randomized_variables(cfg, seed)
+    sd = export_state_dict(cfg, variables["params"], variables["batch_stats"])
+
+    rng = np.random.RandomState(100 + seed)
+    h, w = cfg.MODEL.IMAGE_SIZE[1], cfg.MODEL.IMAGE_SIZE[0]
+    x = rng.uniform(-2, 2, (2, h, w, 3)).astype(np.float32)
+
+    ours = _flax_forward(cfg, model, variables, x)
+    theirs = torch_forward(cfg, sd, np.transpose(x, (0, 3, 1, 2)))
+    theirs = np.transpose(theirs, (0, 2, 3, 1))      # NCHW -> NHWC
+
+    assert ours.shape == theirs.shape
+    err = np.abs(ours - theirs).max()
+    scale = max(np.abs(theirs).max(), 1.0)
+    assert err <= 1e-4 * scale, f"max abs err {err} (output scale {scale})"
+
+
+def test_torch_import_direction_matches_oracle():
+    """convert_state_dict (torch -> flax, the direction tools/parity_check.py
+    uses on released checkpoints) also reproduces the oracle's forward."""
+    import jax
+    import torch
+
+    from torch_hrnet import PoseHighResolutionNet as TorchNet
+
+    cfg = _tiny_cfg()
+    tmodel = TorchNet(cfg)
+    tmodel.eval()
+    # randomize torch BN stats too (default 0/1 would mask mapping bugs)
+    g = torch.Generator().manual_seed(7)
+    with torch.no_grad():
+        for name, buf in tmodel.named_buffers():
+            if name.endswith("running_mean"):
+                buf.copy_(torch.randn(buf.shape, generator=g) * 0.1)
+            elif name.endswith("running_var"):
+                buf.copy_(torch.rand(buf.shape, generator=g) + 0.5)
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()
+          if "num_batches_tracked" not in k}
+
+    model = PoseHighResolutionNet(cfg)
+    h, w = cfg.MODEL.IMAGE_SIZE[1], cfg.MODEL.IMAGE_SIZE[0]
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, h, w, 3), np.float32), train=False)
+    params, stats = convert_state_dict(cfg, sd)
+    variables = {"params": params, "batch_stats": stats}
+
+    rng = np.random.RandomState(3)
+    x = rng.uniform(-2, 2, (2, h, w, 3)).astype(np.float32)
+    ours = _flax_forward(cfg, model, variables, x)
+    with torch.no_grad():
+        theirs = tmodel(torch.as_tensor(
+            np.transpose(x, (0, 3, 1, 2)))).numpy()
+    theirs = np.transpose(theirs, (0, 2, 3, 1))
+    err = np.abs(ours - theirs).max()
+    assert err <= 1e-4 * max(np.abs(theirs).max(), 1.0), f"max abs err {err}"
