@@ -44,6 +44,7 @@ def train_one_epoch(step_fn, state, loader, rng, epoch, shard, logger=None,
         batch.pop("image_id", None)
         batch.pop("score", None)
         batch.pop("factor", None)    # eval-only: targets live in crop space
+        batch.pop("offset", None)
         rng, sub = jax.random.split(rng)
         state, metrics = step_fn(state, batch, sub)
         bs = batch["image"].shape[0]
@@ -186,7 +187,8 @@ def fit(cfg: Config, model, train_dataset, val_dataset=None,
         # best is only meaningful on epochs that actually evaluated
         is_best = validated and perf >= best_perf
         best_perf = max(best_perf, perf)
-        save_checkpoint(output_dir, state, epoch, perf, is_best)
+        save_checkpoint(output_dir, state, epoch, perf, is_best,
+                        best_perf=best_perf)
         if writer:
             writer.write_scalars(epoch, {"train_loss": loss,
                                          "valid_AP": perf,

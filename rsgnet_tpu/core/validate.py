@@ -100,16 +100,20 @@ def validate(cfg: Config, dataset, model, variables,
 
     def drain_one():
         nonlocal seen
-        nv, preds, maxvals, c, s, score, img_id, factor = window.pop(0)
+        nv, preds, maxvals, c, s, score, img_id, factor, offset = \
+            window.pop(0)
         sl = slice(seen, seen + nv)
-        # undo the canvas-fit downscale (dataset.load_sample): predictions
-        # were decoded in downscaled-image space; GT annotations live in
-        # original-image space
+        # undo the canvas mapping (dataset.load_sample): predictions were
+        # decoded in canvas space; GT annotations live in original-image
+        # space. p_orig = (p_canvas + offset) / factor
         f = (np.ones((nv, 1), np.float32) if factor is None
              else np.asarray(factor, np.float32)[:nv].reshape(-1, 1))
-        all_preds[sl, :, :2] = np.asarray(preds)[:nv] / f[:, :, None]
+        off = (np.zeros((nv, 2), np.float32) if offset is None
+               else np.asarray(offset, np.float32)[:nv].reshape(-1, 2))
+        all_preds[sl, :, :2] = ((np.asarray(preds)[:nv] + off[:, None, :])
+                                / f[:, :, None])
         all_preds[sl, :, 2:3] = np.asarray(maxvals)[:nv]
-        c = np.asarray(c)[:nv] / f
+        c = (np.asarray(c)[:nv] + off) / f
         s = np.asarray(s)[:nv] / f
         all_boxes[sl, 0:2] = c
         all_boxes[sl, 2:4] = s
@@ -125,7 +129,7 @@ def validate(cfg: Config, dataset, model, variables,
                                batch["center"], batch["scale"])
         window.append((nv, preds, maxvals, batch["center"], batch["scale"],
                        batch["score"], batch["image_id"],
-                       batch.get("factor")))
+                       batch.get("factor"), batch.get("offset")))
         if len(window) > 8:
             drain_one()
     while window:

@@ -25,8 +25,13 @@ def _to_host(tree):
 
 
 def save_checkpoint(out_dir: str, state, epoch: int, perf: float,
-                    is_best: bool) -> str:
-    """state: core.train.TrainState. Returns the checkpoint path."""
+                    is_best: bool, best_perf: float | None = None) -> str:
+    """state: core.train.TrainState. Returns the checkpoint path.
+
+    ``perf`` is THIS epoch's metric (0.0 on epochs that didn't validate);
+    ``best_perf`` is the running best, persisted separately so a resumed run
+    never overwrites ``model_best`` with a worse model (the reference stores
+    the running best too — ADVICE round-2)."""
     os.makedirs(out_dir, exist_ok=True)
     payload = {
         "epoch": epoch,
@@ -35,6 +40,7 @@ def save_checkpoint(out_dir: str, state, epoch: int, perf: float,
         # to_state_dict: optax states are (named)tuples msgpack can't encode
         "opt_state": serialization.to_state_dict(_to_host(state.opt_state)),
         "perf": float(perf),
+        "best_perf": float(perf if best_perf is None else best_perf),
     }
     path = os.path.join(out_dir, CKPT_NAME)
     with open(path, "wb") as f:
@@ -53,6 +59,12 @@ def load_checkpoint(path: str, state) -> Tuple[Any, int, float]:
 
     Returns (state, begin_epoch, best_perf). Works for both full checkpoints
     (with opt_state) and best-model files (params/batch_stats only).
+
+    Layout-compat note: round-2 renamed the RSG head's refine layers
+    (``refine{i}_conv``/``refine{i}_bn`` -> ``refine{i}/conv|bn``), so
+    msgpack checkpoints written before that rename fail to restore params.
+    No shipped checkpoint predates the rename; if one ever matters, remap
+    the keys before ``from_state_dict``.
     """
     with open(path, "rb") as f:
         raw = serialization.msgpack_restore(f.read())
@@ -75,7 +87,8 @@ def load_checkpoint(path: str, state) -> Tuple[Any, int, float]:
                 "resuming weights/epoch with a fresh optimizer state",
                 path, e)
     state = state.replace(**kw)
-    return state, int(raw.get("epoch", 0)), float(raw.get("perf", 0.0))
+    best = raw.get("best_perf", raw.get("perf", 0.0))
+    return state, int(raw.get("epoch", 0)), float(best)
 
 
 def load_weights(cfg, model, model_file: str):

@@ -80,6 +80,18 @@ def test_auto_resume_semantics(tmp_path):
     assert e == 8 and p == pytest.approx(0.5)
 
 
+def test_resume_restores_running_best_not_epoch_perf(tmp_path):
+    """An epoch that didn't validate writes perf=0.0 but must persist the
+    RUNNING best, so a resumed run can't overwrite model_best with a worse
+    model (ADVICE round-2)."""
+    cfg = tiny_rsgnet()
+    model, state = make_state(cfg)
+    save_checkpoint(str(tmp_path), state, epoch=9, perf=0.0, is_best=False,
+                    best_perf=0.73)
+    _, e, p = auto_resume(str(tmp_path), state)
+    assert e == 10 and p == pytest.approx(0.73)
+
+
 def test_load_weights_msgpack(tmp_path):
     cfg = tiny_rsgnet()
     model, state = make_state(cfg)

@@ -1,8 +1,13 @@
-"""Regression tests: images larger than the 640x640 source canvas are
-downscaled on load (dataset.load_sample), and validate() must map predictions
-BACK to original-image space before dataset.evaluate — otherwise CrowdPose
-(images commonly >640px) evaluates downscaled coords against original-space
-GT and AP collapses (ADVICE.md round-1 high-severity finding).
+"""Regression tests: images larger than the 640x640 source canvas.
+
+Round-3 semantics (VERDICT round-2 item 2): a big image with a normal-sized
+person is NOT downscaled — load_sample slices a zero-resample integer window
+around the instance (factor == 1.0, the shift carried as ``offset``), so the
+model sees full-resolution pixels exactly like the reference's host crop.
+Downscaling happens only when the instance's own warp read-region exceeds
+the canvas. validate() must map predictions BACK to original-image space
+through BOTH offset and factor — otherwise CrowdPose evaluates shifted or
+downscaled coords against original-space GT and AP collapses.
 """
 import json
 import os
@@ -36,18 +41,43 @@ def make_cfg():
     return cfg
 
 
-def test_load_sample_reports_downscale_factor(big_fixture_root):
+def test_big_image_small_person_keeps_full_resolution(big_fixture_root):
+    """A >640px image with a normal person: NO downscale (factor == 1.0) —
+    a zero-resample window shift only (VERDICT round-2 item 2)."""
+    from rsgnet_tpu.utils.imageio import read_image
+
     cfg = make_cfg()
     ds = get_dataset(cfg, root=big_fixture_root, image_set="test")
     s = ds.load_sample(0)
     assert s["image"].shape == (640, 640, 3)
-    assert s["factor"] == pytest.approx(640.0 / 1000.0)
-    # geometry scaled consistently with the image
+    assert s["factor"] == 1.0
     rec = ds.db[0]
-    np.testing.assert_allclose(s["center"], rec["center"] * s["factor"],
-                               rtol=1e-6)
+    off = s["offset"]
+    assert off[0] == int(off[0]) and off[1] == int(off[1])  # integer shift
+    np.testing.assert_allclose(s["center"], rec["center"] - off, rtol=1e-6)
     np.testing.assert_allclose(s["joints"],
-                               rec["joints"][:, :2] * s["factor"], rtol=1e-6)
+                               rec["joints"][:, :2] - off, rtol=1e-6)
+    # pixels are the UNRESAMPLED original-image window
+    orig = read_image(rec["image_path"], color_rgb=cfg.DATASET.COLOR_RGB)
+    x0, y0 = int(off[0]), int(off[1])
+    np.testing.assert_array_equal(s["image"],
+                                  orig[y0:y0 + 640, x0:x0 + 640])
+
+
+def test_canvas_sized_person_still_downscales(big_fixture_root):
+    """Only an instance whose own warp read-region exceeds the canvas is
+    downscaled, and the factor is exactly what makes it fit."""
+    cfg = make_cfg()
+    ds = get_dataset(cfg, root=big_fixture_root, image_set="test")
+    rec = dict(ds.db[0])
+    rec["scale"] = np.array([4.0, 4.0], np.float32)   # 800px box > 640
+    ds.db[0] = rec
+    s = ds.load_sample(0)
+    assert s["factor"] < 1.0
+    need = float(ds._needed_extent(rec["scale"]).max())
+    assert s["factor"] == pytest.approx(640.0 / need)
+    np.testing.assert_allclose(
+        s["center"], rec["center"] * s["factor"] - s["offset"], rtol=1e-6)
 
 
 def test_validate_maps_predictions_back_to_original_space(big_fixture_root):
