@@ -17,13 +17,23 @@ true END-TO-END eval path (640^2 padded source -> device warp -> model ->
 flip-test -> decode), which includes the preprocessing the headline excludes
 (VERDICT round-1: report both; optimize the real one).
 
-``vs_baseline`` normalizes by the reference stack's A100 throughput on the
-same protocol. No published figure exists (BASELINE.md:23 — the reference
-repo publishes no speed numbers and the mount is empty), so the denominator
-is an estimate, documented here and held FIXED across rounds so the series
-is comparable: PyTorch fp32 DataParallel validate loop (flip-test on,
-batch 32/GPU) for HRNet-W32 @ 256x192 on one A100 ~= 800 images/sec.
-The driver target is >=2x A100, i.e. vs_baseline >= 2.0.
+``vs_baseline`` ALWAYS normalizes by an estimate of the reference stack's
+A100 throughput for the SAME protocol (uniform semantics across every line —
+VERDICT round-2 item 4). No published figure exists (BASELINE.md:23 — the
+reference repo publishes no speed numbers and the mount is empty), so the
+denominators are estimates, documented here and held FIXED across rounds so
+the series is comparable:
+
+- eval paths: PyTorch fp32 DataParallel validate loop (flip-test on,
+  batch 32/GPU) for HRNet-W32 @ 256x192 on one A100 ~= 800 images/sec.
+- train path: PyTorch fp32 train step (fwd+bwd+SGD-class update, batch
+  32/GPU, cuDNN benchmark, host cv2 aug pipelined by DataLoader workers)
+  for the same model ~= 400 images/sec on one A100 — eval does 2 forwards
+  (flip-test) where train does ~1 fwd + ~2x-cost bwd + update, so the
+  train ceiling is roughly half the eval ceiling; the host-aug bound of
+  the reference loader keeps it at or below that.
+
+The driver target is >=2x A100, i.e. vs_baseline >= 2.0 on every line.
 """
 from __future__ import annotations
 
@@ -35,6 +45,7 @@ import jax.numpy as jnp
 import numpy as np
 
 A100_REF_IMAGES_PER_SEC = 800.0   # estimated reference A100 eval throughput
+A100_REF_TRAIN_IMAGES_PER_SEC = 400.0   # estimated A100 train throughput
 BATCH = 128
 DISTINCT = 8
 ITERS = 30
@@ -72,6 +83,67 @@ def bench_e2e(cfg, model, variables):
         "metric": "coco_val_e2e_eval_images_per_sec_per_chip",
         "value": round(ips, 2),
         "unit": "images/sec/chip (640^2 src device-warp + flip-test + decode)",
+        "vs_baseline": round(ips / A100_REF_IMAGES_PER_SEC, 3),
+    }))
+
+
+def bench_e2e_full(cfg, model, variables):
+    """The WHOLE BASELINE config-2 contract in one device program: 640^2
+    uint8 sources -> device warp -> forward -> flip-test -> decode ->
+    rescoring (mean kpt score above IN_VIS_THRE x box score) -> per-image
+    greedy OKS-NMS — nothing left on the host but the final gather
+    (VERDICT round-2 item 3: the e2e number must include suppression)."""
+    from rsgnet_tpu.core.inference import make_e2e_fn
+    from rsgnet_tpu.data.skeletons import get_spec
+    from rsgnet_tpu.ops.nms import oks_nms_jax
+
+    b, src, iters, per_img = 128, 640, 12, 16
+    spec = get_spec("coco")
+    sigmas = jnp.asarray(spec.sigmas, jnp.float32)
+    rng = np.random.RandomState(5)
+    imgs = [jnp.asarray(rng.randint(0, 255, (b, src, src, 3), np.uint8))
+            for _ in range(4)]
+    centers = jnp.asarray(rng.uniform(200, 440, (b, 2)).astype(np.float32))
+    scales = jnp.asarray(np.stack([rng.uniform(0.8, 1.5, b) * 0.75,
+                                   rng.uniform(0.8, 1.5, b)],
+                                  -1).astype(np.float32))
+    box_scores = jnp.asarray(rng.uniform(0.3, 1.0, b).astype(np.float32))
+    e2e = make_e2e_fn(cfg, model, (src, src), jit=False)
+    ivt = jnp.float32(cfg.TEST.IN_VIS_THRE)
+    thre = jnp.float32(cfg.TEST.OKS_THRE)
+
+    def full(variables, raw, c, s, bscore):
+        preds, maxvals = e2e(variables, raw, c, s)
+        ks = maxvals[..., 0]
+        valid = ks > ivt
+        cnt = jnp.maximum(valid.sum(-1), 1)
+        kpt_score = jnp.where(valid.any(-1),
+                              (ks * valid).sum(-1) / cnt, 0.0)
+        scores = kpt_score * bscore
+        kpts = jnp.concatenate([preds, maxvals], -1)     # (B, K, 3)
+        areas = jnp.prod(s * 200.0, axis=-1)
+        keep = jax.vmap(lambda kp, sc, ar: oks_nms_jax(
+            kp, sc, ar, sigmas, thre))(
+                kpts.reshape(-1, per_img, kpts.shape[1], 3),
+                scores.reshape(-1, per_img), areas.reshape(-1, per_img))
+        return preds, scores, keep
+
+    full = jax.jit(full)
+    outs = [full(variables, imgs[i % 4], centers, scales, box_scores)
+            for i in range(2)]
+    jax.tree_util.tree_map(np.asarray, outs)
+    t0 = time.perf_counter()
+    outs = [full(variables, imgs[i % 4], centers, scales, box_scores)
+            for i in range(iters)]
+    sink = jax.tree_util.tree_map(np.asarray, outs)
+    dt = time.perf_counter() - t0
+    assert all(np.isfinite(p).all() for p, _, _ in sink)
+    ips = b * iters / dt
+    print(json.dumps({
+        "metric": "coco_val_e2e_full_images_per_sec_per_chip",
+        "value": round(ips, 2),
+        "unit": "images/sec/chip (640^2 src device-warp + flip-test + "
+                "decode + rescore + OKS-NMS on device)",
         "vs_baseline": round(ips / A100_REF_IMAGES_PER_SEC, 3),
     }))
 
@@ -118,8 +190,9 @@ def bench_train(cfg, model):
     print(json.dumps({
         "metric": "train_step_images_per_sec_per_chip",
         "value": round(ips, 2),
-        "unit": "images/sec/chip (B=128: device aug 640^2 + fwd+bwd+update)",
-        "vs_baseline": round(ips / 272.0, 3),     # round-1 train throughput
+        "unit": "images/sec/chip (B=128: device aug 640^2 + fwd+bwd+update; "
+                "vs est. 400 img/s A100 fp32 train)",
+        "vs_baseline": round(ips / A100_REF_TRAIN_IMAGES_PER_SEC, 3),
     }))
 
 
@@ -150,6 +223,12 @@ def main():
         bench_e2e(cfg, model, variables)
     except Exception as e:
         print(json.dumps({"metric": "coco_val_e2e_eval_images_per_sec_per_chip",
+                          "value": None, "unit": f"skipped: {e!r}",
+                          "vs_baseline": None}))
+    try:
+        bench_e2e_full(cfg, model, variables)
+    except Exception as e:
+        print(json.dumps({"metric": "coco_val_e2e_full_images_per_sec_per_chip",
                           "value": None, "unit": f"skipped: {e!r}",
                           "vs_baseline": None}))
     infer = make_inference_fn(cfg, model)

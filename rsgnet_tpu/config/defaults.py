@@ -150,7 +150,15 @@ class TestConfig:
     BLUR_KERNEL: int = 11
     DECODE: str = "default"          # "default" (quarter-offset) | "dark"
     PALLAS_DECODE: bool = False      # fused Pallas DARK kernel (TPU-only)
-    DEVICE_NMS: bool = False         # whole-dataset OKS-NMS as ONE device call
+    # Whole-dataset OKS-NMS as ONE device call. Default ON since round 3:
+    # measured on the real TPU vs the C++ host greedy at 2000 images
+    # (tools/profile_nms.py): device 1.10x/1.39x/1.47x faster at 4/8/20
+    # instances per image, exact keep-set agreement (BENCH_NOTES.md).
+    DEVICE_NMS: bool = True
+    # TPU-native addition: eval input pipeline backend ("threads" = in-process
+    # ThreadPool BatchLoader; "grain" = grain worker processes; cf.
+    # TRAIN.LOADER)
+    LOADER: str = "threads"
 
 
 @dataclass

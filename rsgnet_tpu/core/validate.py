@@ -61,9 +61,14 @@ def validate(cfg: Config, dataset, model, variables,
     n_dev = mesh.size if mesh is not None else 1
     batch_size = (batch_size or cfg.TEST.BATCH_SIZE_PER_GPU) * n_dev
     host_crop = pipeline == "host"
-    loader = BatchLoader(dataset, batch_size, shuffle=False,
-                         num_workers=num_workers, pad_last=True,
-                         cropped=host_crop)
+    if cfg.TEST.LOADER == "grain":
+        from rsgnet_tpu.data.grain_pipeline import GrainEvalLoader
+        loader = GrainEvalLoader(dataset, batch_size,
+                                 num_workers=num_workers, cropped=host_crop)
+    else:
+        loader = BatchLoader(dataset, batch_size, shuffle=False,
+                             num_workers=num_workers, pad_last=True,
+                             cropped=host_crop)
     if infer_fn is not None:
         # infer_fn is the (fn, image_key) pair from make_validate_infer_fn —
         # bundling prevents silently pairing a host-crop fn with canvas

@@ -18,17 +18,20 @@ class _SampleMap:
     """Picklable callable: index record -> loaded sample dict (callables,
     unlike closures, survive grain's multiprocess workers)."""
 
-    def __init__(self, dataset):
+    def __init__(self, dataset, cropped: bool = False):
         self.dataset = dataset
+        self.cropped = cropped
 
     def __call__(self, idx: int) -> Dict[str, np.ndarray]:
+        if self.cropped:
+            return self.dataset.load_sample_cropped(int(idx))
         return self.dataset.load_sample(int(idx))
 
 
 def make_grain_loader(dataset, batch_size: int, *, shuffle: bool = False,
                       seed: int = 0, num_epochs: int | None = 1,
                       worker_count: int = 0, drop_remainder: bool = True,
-                      read_buffer: int = 64) -> Any:
+                      read_buffer: int = 64, cropped: bool = False) -> Any:
     """An iterable of collated batch dicts over ``dataset`` (TopDownDataset).
 
     worker_count=0 runs in-process (tests); >0 spawns grain worker processes.
@@ -42,7 +45,7 @@ def make_grain_loader(dataset, batch_size: int, *, shuffle: bool = False,
         ds = ds.repeat()
     elif num_epochs > 1:
         ds = ds.repeat(num_epochs)
-    ds = ds.map(_SampleMap(dataset))
+    ds = ds.map(_SampleMap(dataset, cropped=cropped))
     it = ds.to_iter_dataset(
         grain.ReadOptions(num_threads=max(1, read_buffer // 16),
                           prefetch_buffer_size=read_buffer))
@@ -84,4 +87,39 @@ class GrainBatchLoader:
         for batch in loader:
             batch = dict(batch)
             batch["num_valid"] = np.int32(self.batch_size)
+            yield batch
+
+
+class GrainEvalLoader:
+    """Sequential grain-backed loader for ``validate()`` (TEST.LOADER=grain,
+    VERDICT round-2 item 7): same contract as the eval BatchLoader — in-order
+    iteration, last batch PADDED to the static batch size (the jitted eval
+    program has one compiled shape) with ``num_valid`` marking the real rows.
+    Worker processes parallelize image decode beyond the GIL.
+    """
+
+    def __init__(self, dataset, batch_size: int, num_workers: int = 0,
+                 cropped: bool = False):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.num_workers = num_workers
+        self.cropped = cropped
+
+    def __len__(self):
+        return (len(self.dataset) + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        loader = make_grain_loader(
+            self.dataset, self.batch_size, shuffle=False, num_epochs=1,
+            worker_count=self.num_workers, drop_remainder=False,
+            cropped=self.cropped)
+        for batch in loader:
+            batch = dict(batch)
+            real = len(next(iter(batch.values())))
+            if real < self.batch_size:
+                pad = self.batch_size - real
+                batch = {k: np.concatenate(
+                    [v, np.repeat(v[-1:], pad, axis=0)])
+                    for k, v in batch.items()}
+            batch["num_valid"] = np.int32(real)
             yield batch

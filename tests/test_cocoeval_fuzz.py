@@ -272,9 +272,19 @@ def run_one_seed(seed, use_area=True, max_dets=20):
             err_msg=f"seed={seed} area_rng={ai} recall mismatch")
 
 
-@pytest.mark.parametrize("chunk", range(8))
+_SLOW_CHUNK = pytest.mark.skipif(
+    not __import__("os").environ.get("RSGNET_SLOW_TESTS"),
+    reason="full 240-dataset fuzz is slow-suite; 90 deterministic seeds "
+           "run by default (VERDICT round-2 item 9 wall-time budget)")
+
+
+@pytest.mark.parametrize(
+    "chunk", [0, 1, 2] + [pytest.param(c, marks=_SLOW_CHUNK)
+                          for c in range(3, 8)])
 def test_fuzz_vs_naive_matcher(chunk):
-    """200+ random datasets, precision/recall arrays must agree exactly."""
+    """200+ random datasets, precision/recall arrays must agree exactly
+    (seeds deterministic, so the default 90-seed subset is a stable
+    regression net; RSGNET_SLOW_TESTS=1 runs all 240)."""
     for seed in range(chunk * 30, (chunk + 1) * 30):
         run_one_seed(seed)
 

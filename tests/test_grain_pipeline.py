@@ -69,6 +69,52 @@ def test_grain_batch_loader_epoch_reshuffle(ds):
     assert all(b["num_valid"] == 2 for b in loader)
 
 
+def test_grain_eval_loader_pads_last_batch(ds):
+    from rsgnet_tpu.data.grain_pipeline import GrainEvalLoader
+    n = len(ds)
+    loader = GrainEvalLoader(ds, batch_size=3)
+    batches = list(loader)
+    assert len(batches) == len(loader) == (n + 2) // 3
+    assert all(b["image"].shape[0] == 3 for b in batches)
+    assert int(batches[-1]["num_valid"]) == n - 3 * (len(batches) - 1)
+    # sequential order, matching the dataset db
+    got = [int(i) for b in batches for i in b["image_id"][:b["num_valid"]]]
+    want = [int(ds.db[i]["image_id"]) for i in range(n)]
+    assert got == want
+
+
+def test_validate_with_grain_loader_matches_threads(ds):
+    """TEST.LOADER=grain drives validate() to the identical AP as the
+    threaded loader (VERDICT round-2 item 7)."""
+    from rsgnet_tpu.core.validate import validate
+
+    cfg = tiny_rsgnet()
+    cfg.MODEL.NUM_JOINTS = 17
+
+    oracle = [ds.load_sample(i) for i in range(len(ds))]
+    ids = {int(s["image_id"]): i for i, s in enumerate(oracle)}
+
+    def fake_infer(variables, images, centers, scales):
+        b = int(np.asarray(centers).shape[0])
+        preds = np.zeros((b, 17, 2), np.float32)
+        maxvals = np.ones((b, 17, 1), np.float32)
+        # look up by geometry-independent key: centers match oracle order
+        for j in range(b):
+            c = np.asarray(centers)[j]
+            idx = min(range(len(oracle)),
+                      key=lambda i: np.sum((oracle[i]["center"] - c) ** 2))
+            preds[j] = oracle[idx]["joints"]
+            maxvals[j, :, 0] = oracle[idx]["joints_vis"]
+        return preds, maxvals
+
+    _, ap_threads = validate(cfg, ds, model=None, variables=None,
+                             batch_size=3, infer_fn=(fake_infer, "image"))
+    cfg.TEST.LOADER = "grain"
+    _, ap_grain = validate(cfg, ds, model=None, variables=None,
+                           batch_size=3, infer_fn=(fake_infer, "image"))
+    assert ap_grain == ap_threads == pytest.approx(1.0)
+
+
 def test_fit_with_grain_loader(tmp_path):
     """TRAIN.LOADER=grain drives fit() end-to-end (train-step batches come
     from grain worker processes) — VERDICT round-1 item 7."""

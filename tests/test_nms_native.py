@@ -92,6 +92,7 @@ def test_device_nms_in_dataset_evaluate(tmp_path):
     write_fixture(root, ds_dict)
     cfg = tiny_rsgnet()
     cfg.MODEL.NUM_JOINTS = 17
+    cfg.TEST.DEVICE_NMS = False          # host path first (device default on)
     ds = get_dataset(cfg, root=root, image_set="val", is_train=False)
     n, k = len(ds), ds.num_joints
     preds = np.zeros((n, k, 3), np.float32)
@@ -174,6 +175,7 @@ def test_device_soft_nms_in_dataset_evaluate(tmp_path):
     write_fixture(root, ds_dict)
     cfg = tiny_rsgnet()
     cfg.MODEL.NUM_JOINTS = 17
+    cfg.TEST.DEVICE_NMS = False          # host path first (device default on)
     ds = get_dataset(cfg, root=root, image_set="val", is_train=False)
     n, k = len(ds), ds.num_joints
     # duplicate every instance with a jitter -> overlapping candidates

@@ -129,6 +129,8 @@ def _train(name, seed=0, steps=200, batch=12):
 
 
 def test_rsg_head_uplift_on_crowded_scenes():
+    import os
+
     te_imgs, te_tj, te_ij = render_crowd(np.random.RandomState(999), 96)
     x = normalize_image(jnp.asarray(te_imgs, jnp.float32))
 
@@ -138,19 +140,21 @@ def test_rsg_head_uplift_on_crowded_scenes():
     f_dis, f_pck = _metrics(final, te_tj, te_ij)
     i_dis, i_pck = _metrics(initial, te_tj, te_ij)
 
-    _, hmodel, hstate = _train("hrnet")
-    hvars = {"params": hstate.params, "batch_stats": hstate.batch_stats}
-    h_dis, h_pck = _metrics(hmodel.apply(hvars, x, train=False), te_tj, te_ij)
-
-    stats = dict(final=(f_dis, f_pck), initial=(i_dis, i_pck),
-                 hrnet=(h_dis, h_pck))
+    stats = dict(final=(f_dis, f_pck), initial=(i_dis, i_pck))
     # paired: the graph head's refinement beats the same backbone's raw maps
     # (observed min gaps across calibration: +0.075 disamb, +0.056 pck)
     assert f_dis > i_dis + 0.04, stats
     assert f_pck > i_pck + 0.03, stats
     # absolute: the refined head solves the crowding task well above chance
     assert f_dis > 0.70, stats
-    # cross-model sanity: the head never materially hurts vs plain HRNet
-    # (hard cross-model margins are training-noise coin-flips at tiny scale
-    # — see module docstring)
-    assert f_dis > h_dis - 0.10, stats
+
+    # cross-model sanity (a weak guard by design — see module docstring) is
+    # a SECOND full training run; slow-suite only (VERDICT round-2 item 9:
+    # default-suite wall-time budget)
+    if os.environ.get("RSGNET_SLOW_TESTS"):
+        _, hmodel, hstate = _train("hrnet")
+        hvars = {"params": hstate.params, "batch_stats": hstate.batch_stats}
+        h_dis, _ = _metrics(hmodel.apply(hvars, x, train=False),
+                            te_tj, te_ij)
+        stats["hrnet"] = (h_dis,)
+        assert f_dis > h_dis - 0.10, stats

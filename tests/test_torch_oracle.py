@@ -93,8 +93,15 @@ def _flax_forward(cfg, model, variables, x_nhwc):
         lambda v, x: model.apply(v, x, train=False))(variables, x_nhwc))
 
 
-@pytest.mark.parametrize("make_cfg,seed", [(_tiny_cfg, 0), (_w32_cfg, 1),
-                                           (_w48_cfg, 2)],
+_SLOW = pytest.mark.skipif(
+    not __import__("os").environ.get("RSGNET_SLOW_TESTS"),
+    reason="W48 oracle adds ~2 min; W32 already covers the architecture "
+           "(set RSGNET_SLOW_TESTS=1)")
+
+
+@pytest.mark.parametrize("make_cfg,seed",
+                         [(_tiny_cfg, 0), (_w32_cfg, 1),
+                          pytest.param(_w48_cfg, 2, marks=_SLOW)],
                          ids=["tiny", "w32", "w48"])
 def test_flax_matches_independent_torch_oracle(make_cfg, seed):
     cfg = make_cfg()
