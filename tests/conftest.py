@@ -23,5 +23,20 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: the suite's wall time is dominated by XLA:CPU
+# recompiling the same tiny-model programs on every run (VERDICT round-2
+# item 9). With the cache, repeat runs load AOT results instead
+# (measured 28.9s -> 5.3s for the tiny train step). XLA:CPU logs noisy
+# machine-feature-comparison warnings when loading AOT entries (string-picky
+# feature-set diff on the SAME machine); any genuinely bad entry fails tests
+# loudly against the NumPy oracles rather than passing silently. Set
+# RSGNET_NO_COMPILE_CACHE=1 to disable (e.g. to measure true compile time).
+if not os.environ.get("RSGNET_NO_COMPILE_CACHE"):
+    _cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_compile_cache")
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 # NOTE: x64 stays OFF — the library must behave identically under the f32-only
 # TPU semantics; NumPy oracles use float64 on their own side where needed.

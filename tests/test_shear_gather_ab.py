@@ -18,7 +18,10 @@ default".) Calibration on this machine, seed 0, 240 steps, rot 45 / scale
 the sheared-lattice filtering costs nothing on learning outcome here
 (recorded in BENCH_NOTES.md round-3).
 """
+import os
+
 import numpy as np
+import pytest
 
 import jax
 
@@ -77,6 +80,11 @@ def _pck(model, state, te_imgs, te_tj, thr=8.0):
     return float((np.linalg.norm(pred - te_tj, axis=-1) < thr).mean())
 
 
+@pytest.mark.skipif(
+    not os.environ.get("RSGNET_SLOW_TESTS"),
+    reason="two full trainings (~6 min, 1-CPU); the outcome is measured and "
+           "recorded in BENCH_NOTES round-3 — slow suite reproduces it "
+           "(RSGNET_SLOW_TESTS=1)")
 def test_shear_default_not_inferior_to_gather():
     te_imgs, te_tj, _ = render_crowd(np.random.RandomState(777), 64)
     _, m_s, s_s = _train("shear")
