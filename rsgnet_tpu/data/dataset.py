@@ -25,13 +25,51 @@ coordinates stay correct.
 """
 from __future__ import annotations
 
+import threading
+from collections import OrderedDict
 from typing import Dict, List, Tuple
 
 import numpy as np
 
 from rsgnet_tpu.config.defaults import Config
 from rsgnet_tpu.data.skeletons import KeypointSpec
-from rsgnet_tpu.utils.imageio import read_image
+from rsgnet_tpu.utils.imageio import decode_image, read_bytes, read_image
+
+
+class _DecodeCache:
+    """Tiny thread-safe LRU of decoded images, keyed by path.
+
+    Top-down datasets hold one record per person INSTANCE, so images with
+    several people would otherwise be decoded once per instance (COCO val
+    averages >2 instances/image, and eval iterates in db order where they
+    are adjacent). Entries are treated as read-only by all consumers —
+    ``collate``'s ``np.stack`` copies before anything touches device or
+    augmentation."""
+
+    def __init__(self, size: int = 32):
+        self.size = size
+        self._d: OrderedDict = OrderedDict()
+        self._lock = threading.Lock()
+
+    def __reduce__(self):
+        # holds a Lock: pickle (grain/mp workers) as an empty fresh cache
+        return (_DecodeCache, (self.size,))
+
+    def get(self, key):
+        with self._lock:
+            v = self._d.get(key)
+            if v is not None:
+                self._d.move_to_end(key)
+            return v
+
+    def put(self, key, val):
+        if self.size <= 0:
+            return
+        with self._lock:
+            self._d[key] = val
+            self._d.move_to_end(key)
+            while len(self._d) > self.size:
+                self._d.popitem(last=False)
 
 
 class TopDownDataset:
@@ -50,6 +88,7 @@ class TopDownDataset:
         self.db: List[dict] = []
         # static source canvas for the on-device warp (H, W)
         self.src_size: Tuple[int, int] = (640, 640)
+        self._decode_cache = _DecodeCache()
 
     def __len__(self):
         return len(self.db)
@@ -71,16 +110,73 @@ class TopDownDataset:
             return box * margin + 4.0
         return box + 4.0
 
+    def _decoded(self, path: str):
+        """Decode ``path`` once per image (LRU-shared across its instances).
+
+        Returns ``("canvas", canvas, h, w)`` for images that fit the source
+        canvas — decoded by the native libjpeg path DIRECTLY into the padded
+        canvas (zero intermediate copies; csrc/jpeg_loader.cpp), or pasted
+        from a PIL decode when native is unavailable — else ``("full", img)``
+        and the caller runs the window/downscale logic. Cached values are
+        read-only (``collate``'s ``np.stack`` copies)."""
+        cached = self._decode_cache.get(path)
+        if cached is not None:
+            return cached
+        sh, sw = self.src_size
+        data = read_bytes(path)
+        img = None
+        if self.color_rgb:
+            from rsgnet_tpu.utils import native_jpeg
+            if native_jpeg.is_jpeg(data) and native_jpeg.available():
+                canvas = np.zeros((sh, sw, 3), np.uint8)
+                try:
+                    r = native_jpeg.decode_into(data, canvas)
+                except ValueError:        # exceeds the canvas
+                    r = None
+                    img = native_jpeg.decode(data)
+                if r is not None:
+                    canvas.setflags(write=False)
+                    entry = ("canvas", canvas, r[0], r[1])
+                    self._decode_cache.put(path, entry)
+                    return entry
+        if img is None:
+            img = decode_image(data, color_rgb=self.color_rgb)
+        h, w = img.shape[:2]
+        if h <= sh and w <= sw:
+            canvas = np.zeros((sh, sw, 3), np.uint8)
+            canvas[:h, :w] = img
+            canvas.setflags(write=False)
+            entry = ("canvas", canvas, h, w)
+        else:
+            img.setflags(write=False)
+            entry = ("full", img)
+        self._decode_cache.put(path, entry)
+        return entry
+
     def load_sample(self, idx: int) -> Dict[str, np.ndarray]:
         rec = self.db[idx]
-        img = read_image(rec["image_path"], color_rgb=self.color_rgb)
-        h, w = img.shape[:2]
         sh, sw = self.src_size
         center = rec["center"].astype(np.float32).copy()
         scale = rec["scale"].astype(np.float32).copy()
         joints = rec["joints"].astype(np.float32).copy()
         factor = 1.0
         offset = np.zeros((2,), np.float32)
+        decoded = self._decoded(rec["image_path"])
+        if decoded[0] == "canvas":
+            _, canvas, h, w = decoded
+            return {
+                "image": canvas,
+                "joints": joints[:, :2],
+                "joints_vis": rec["joints_vis"][:, 0].astype(np.float32),
+                "center": center,
+                "scale": scale,
+                "score": np.float32(rec.get("score", 1.0)),
+                "image_id": np.int64(rec["image_id"]),
+                "factor": np.float32(1.0),
+                "offset": offset,
+            }
+        img = decoded[1]
+        h, w = img.shape[:2]
         if h > sh or w > sw:
             # downscale ONLY if this instance's warp read-region cannot fit
             # the canvas at full resolution (person box ~ canvas-sized)

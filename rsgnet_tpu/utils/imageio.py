@@ -40,7 +40,18 @@ def read_bytes(path: str) -> bytes:
 
 
 def decode_image(data: bytes, color_rgb: bool = True) -> np.ndarray:
-    """bytes -> HWC uint8 (RGB unless color_rgb=False -> BGR)."""
+    """bytes -> HWC uint8 (RGB unless color_rgb=False -> BGR).
+
+    JPEG bytes take the native libjpeg path (csrc/jpeg_loader.cpp — bit-exact
+    vs PIL, tests/test_native_jpeg.py) when the library is available; anything
+    it declines (PNG, CMYK, no compiler, RSGNET_DISABLE_NATIVE_JPEG=1) falls
+    through to cv2/PIL.
+    """
+    if color_rgb:
+        from rsgnet_tpu.utils import native_jpeg
+        arr = native_jpeg.decode(data)
+        if arr is not None:
+            return arr
     try:
         import cv2
         arr = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)

@@ -1,0 +1,151 @@
+"""ctypes bindings for the native JPEG decoder (csrc/jpeg_loader.cpp).
+
+Native-IO path for the host input pipeline (SURVEY.md §3.1 hot loop — the
+reference leans on OpenCV's C++ ``imdecode``): libjpeg-turbo decompression
+straight into a caller-provided row-strided uint8 buffer, so ``load_sample``
+decodes JPEG bytes directly into the padded device canvas with zero
+intermediate copies. Built on demand with ``make -C csrc`` (same protocol as
+:mod:`rsgnet_tpu.ops.nms_native`); every entry point degrades to ``None`` so
+callers fall back to the PIL path when no compiler/libjpeg exists.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_CSRC = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "csrc")
+_LIB_PATH = os.path.join(_CSRC, "libjpeg_loader.so")
+_LOCK = threading.Lock()
+_LIB = None
+
+# debugging escape hatch: force the PIL path everywhere
+_DISABLED = os.environ.get("RSGNET_DISABLE_NATIVE_JPEG", "") not in ("", "0")
+
+JL_OK = 0
+JL_ERR_DECODE = 1
+JL_ERR_TOO_BIG = 2
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(["make", "-C", _CSRC, "libjpeg_loader.so"],
+                       check=True, capture_output=True)
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-fPIC", "-shared", "-std=c++17",
+                 "-o", _LIB_PATH, os.path.join(_CSRC, "jpeg_loader.cpp"),
+                 "-ljpeg"],
+                check=True, capture_output=True)
+            return True
+        except (subprocess.CalledProcessError, FileNotFoundError):
+            return False
+
+
+def get_lib():
+    """The loaded library, or None if unavailable (no compiler/libjpeg)."""
+    global _LIB
+    if _DISABLED:
+        return None
+    with _LOCK:
+        if _LIB is not None:
+            return _LIB or None
+        src = os.path.join(_CSRC, "jpeg_loader.cpp")
+        stale = (os.path.exists(_LIB_PATH) and os.path.exists(src)
+                 and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH))
+        if (stale or not os.path.exists(_LIB_PATH)) and not _build():
+            # a stale binary would silently keep old semantics; only fall
+            # back to it when no compiler exists at all
+            if not os.path.exists(_LIB_PATH):
+                _LIB = False
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            try:
+                os.remove(_LIB_PATH)
+            except OSError:
+                pass
+            if not _build():
+                _LIB = False
+                return None
+            try:
+                lib = ctypes.CDLL(_LIB_PATH)
+            except OSError:
+                _LIB = False
+                return None
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        i32 = ctypes.POINTER(ctypes.c_int)
+        lib.jpeg_header_dims.restype = ctypes.c_int
+        lib.jpeg_header_dims.argtypes = [
+            ctypes.c_char_p, ctypes.c_ulong, i32, i32]
+        lib.jpeg_decode_rgb_into.restype = ctypes.c_int
+        lib.jpeg_decode_rgb_into.argtypes = [
+            ctypes.c_char_p, ctypes.c_ulong, u8p, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, i32, i32]
+        _LIB = lib
+        return lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def is_jpeg(data: bytes) -> bool:
+    return len(data) > 3 and data[:2] == b"\xff\xd8"
+
+
+def decode_into(data: bytes, canvas: np.ndarray):
+    """Decode JPEG ``data`` into the top-left of ``canvas`` (H, W, 3 uint8,
+    C-contiguous). Returns (h, w) on success; None when the native path
+    cannot handle this input (not JPEG / no lib / exotic colorspace) and the
+    caller must fall back to PIL; raises ValueError when the image does not
+    fit the canvas (caller handles the window/downscale path).
+    """
+    if not is_jpeg(data):
+        return None
+    lib = get_lib()
+    if lib is None:
+        return None
+    assert canvas.dtype == np.uint8 and canvas.ndim == 3 \
+        and canvas.shape[2] == 3 and canvas.flags.c_contiguous
+    max_h, max_w = canvas.shape[:2]
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    rc = lib.jpeg_decode_rgb_into(
+        data, len(data), canvas, canvas.strides[0], max_h, max_w,
+        ctypes.byref(h), ctypes.byref(w))
+    if rc == JL_OK:
+        return h.value, w.value
+    if rc == JL_ERR_TOO_BIG:
+        raise ValueError(f"image ({h.value}x{w.value}) exceeds canvas "
+                         f"({max_h}x{max_w})")
+    return None  # JL_ERR_DECODE -> PIL fallback
+
+
+def decode(data: bytes):
+    """Full decode to a freshly-allocated (h, w, 3) uint8 RGB array, or None
+    when the native path cannot handle this input."""
+    if not is_jpeg(data):
+        return None
+    lib = get_lib()
+    if lib is None:
+        return None
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    if lib.jpeg_header_dims(data, len(data),
+                            ctypes.byref(h), ctypes.byref(w)) != JL_OK:
+        return None
+    if h.value <= 0 or w.value <= 0:
+        return None
+    out = np.empty((h.value, w.value, 3), np.uint8)
+    rc = lib.jpeg_decode_rgb_into(
+        data, len(data), out, out.strides[0], h.value, w.value,
+        ctypes.byref(h), ctypes.byref(w))
+    return out if rc == JL_OK else None

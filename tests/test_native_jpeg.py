@@ -1,0 +1,178 @@
+"""Native libjpeg decoder (csrc/jpeg_loader.cpp): bit-parity vs PIL, canvas
+semantics, fallbacks, and the dataset decode cache.
+
+The host pipeline's decode path (reference ``lib/dataset/JointsDataset.py``
+reads via cv2 — SURVEY.md §2.9/§3.1) must produce IDENTICAL pixels whichever
+backend decodes: the system libjpeg-turbo and Pillow's bundled turbo share
+the same engine, so equality is exact, and these tests pin that rather than
+assume it.
+"""
+import io
+import pickle
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from rsgnet_tpu.utils import native_jpeg
+
+
+def _jpeg_bytes(arr, mode="RGB", quality=90):
+    buf = io.BytesIO()
+    Image.fromarray(arr, mode=mode).save(buf, format="JPEG", quality=quality)
+    return buf.getvalue()
+
+
+def _pil_rgb(data):
+    return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+
+
+needs_native = pytest.mark.skipif(not native_jpeg.available(),
+                                  reason="no compiler/libjpeg")
+
+
+@needs_native
+@pytest.mark.parametrize("shape,mode,quality", [
+    ((480, 640), "RGB", 90),
+    ((123, 77), "RGB", 75),      # odd dims exercise MCU edge blocks
+    ((256, 256), "L", 85),       # grayscale source -> RGB in-decoder
+    ((640, 640), "RGB", 95),
+    ((8, 8), "RGB", 50),
+])
+def test_decode_bit_parity_vs_pil(shape, mode, quality):
+    rng = np.random.RandomState(hash((shape, mode)) % (2**31))
+    arr = rng.randint(0, 256, shape if mode == "L" else shape + (3,),
+                      dtype=np.uint8)
+    data = _jpeg_bytes(arr, mode=mode, quality=quality)
+    nat = native_jpeg.decode(data)
+    assert nat is not None
+    np.testing.assert_array_equal(nat, _pil_rgb(data))
+
+
+@needs_native
+def test_decode_into_canvas_pads_and_matches():
+    rng = np.random.RandomState(7)
+    arr = rng.randint(0, 256, (200, 300, 3), dtype=np.uint8)
+    data = _jpeg_bytes(arr)
+    canvas = np.zeros((256, 320, 3), np.uint8)
+    assert native_jpeg.decode_into(data, canvas) == (200, 300)
+    np.testing.assert_array_equal(canvas[:200, :300], _pil_rgb(data))
+    assert canvas[200:].max() == 0 and canvas[:, 300:].max() == 0
+
+
+@needs_native
+def test_decode_into_too_big_raises():
+    data = _jpeg_bytes(np.zeros((100, 50, 3), np.uint8))
+    with pytest.raises(ValueError):
+        native_jpeg.decode_into(data, np.zeros((64, 64, 3), np.uint8))
+    # the other axis too
+    with pytest.raises(ValueError):
+        native_jpeg.decode_into(data, np.zeros((128, 32, 3), np.uint8))
+
+
+def test_non_jpeg_returns_none():
+    canvas = np.zeros((64, 64, 3), np.uint8)
+    assert native_jpeg.decode(b"\x89PNG\r\n\x1a\n") is None
+    assert native_jpeg.decode_into(b"\x89PNG\r\n\x1a\n", canvas) is None
+    assert native_jpeg.decode(b"") is None
+
+
+@needs_native
+def test_corrupt_jpeg_returns_none_not_crash():
+    data = _jpeg_bytes(np.zeros((32, 32, 3), np.uint8))
+    # truncate mid-stream and flip some bytes: must fail cleanly, not exit()
+    bad = bytearray(data[: len(data) // 2])
+    assert native_jpeg.decode(bytes(bad)) is None or True  # no crash is the bar
+    garbage = b"\xff\xd8" + b"\x00" * 64
+    assert native_jpeg.decode(garbage) is None
+
+
+def test_decode_image_dispatch_matches_pil():
+    """utils.imageio.decode_image must give identical pixels whichever
+    backend it picks (native or PIL)."""
+    from rsgnet_tpu.utils.imageio import decode_image
+    rng = np.random.RandomState(3)
+    arr = rng.randint(0, 256, (90, 110, 3), dtype=np.uint8)
+    data = _jpeg_bytes(arr, quality=92)
+    np.testing.assert_array_equal(decode_image(data), _pil_rgb(data))
+
+
+def test_load_sample_canvas_identical_across_backends(tmp_path, monkeypatch):
+    """The dataset's canvas is byte-identical with the native decoder on or
+    off (RSGNET_DISABLE_NATIVE_JPEG path = PIL paste)."""
+    from tests.fixtures.synthetic_coco import make_dataset, write_fixture
+    from rsgnet_tpu.config.defaults import tiny_rsgnet
+    from rsgnet_tpu.data import get_dataset
+
+    write_fixture(str(tmp_path), make_dataset())
+    cfg = tiny_rsgnet()
+    cfg.MODEL.NUM_JOINTS = 17
+    cfg.DATASET.TEST_SET = "val"
+    ds = get_dataset(cfg, root=str(tmp_path), image_set="val")
+    native_samples = [ds.load_sample(i) for i in range(min(4, len(ds)))]
+
+    monkeypatch.setattr(native_jpeg, "_DISABLED", True)
+    ds_pil = get_dataset(cfg, root=str(tmp_path), image_set="val")
+    for i, s_nat in enumerate(native_samples):
+        s_pil = ds_pil.load_sample(i)
+        np.testing.assert_array_equal(s_nat["image"], s_pil["image"])
+        np.testing.assert_array_equal(s_nat["center"], s_pil["center"])
+
+
+def test_decode_cache_shares_across_instances(tmp_path):
+    """Instances of the same image decode once; entries are read-only and
+    stacking still works."""
+    from tests.fixtures.synthetic_coco import make_dataset, write_fixture
+    from rsgnet_tpu.config.defaults import tiny_rsgnet
+    from rsgnet_tpu.data import get_dataset
+    import rsgnet_tpu.data.dataset as dsmod
+
+    write_fixture(str(tmp_path), make_dataset())
+    cfg = tiny_rsgnet()
+    cfg.MODEL.NUM_JOINTS = 17
+    cfg.DATASET.TEST_SET = "val"
+    ds = get_dataset(cfg, root=str(tmp_path), image_set="val")
+    # image 1 holds two instances -> same cached canvas object
+    paths = [ds.db[i]["image_path"] for i in range(len(ds))]
+    same_img = [i for i, p in enumerate(paths) if p == paths[0]]
+    assert len(same_img) >= 2, "fixture should have a multi-instance image"
+
+    calls = []
+    orig = dsmod.read_bytes
+
+    def counting_read_bytes(path):
+        calls.append(path)
+        return orig(path)
+
+    dsmod.read_bytes, saved = counting_read_bytes, dsmod.read_bytes
+    try:
+        s0 = ds.load_sample(same_img[0])
+        s1 = ds.load_sample(same_img[1])
+    finally:
+        dsmod.read_bytes = saved
+    assert len(calls) == 1, "second instance must hit the decode cache"
+    assert s0["image"] is s1["image"], "cache should share the canvas"
+    assert not s0["image"].flags.writeable
+    # collate copies: batches are independent of the cached canvas
+    batch = ds.collate(same_img[:2])
+    assert batch["image"].flags.writeable
+    np.testing.assert_array_equal(batch["image"][0], batch["image"][1])
+
+
+def test_decode_cache_pickles_fresh():
+    from rsgnet_tpu.data.dataset import _DecodeCache
+    c = _DecodeCache(size=4)
+    c.put("k", ("canvas", np.zeros((2, 2, 3), np.uint8), 2, 2))
+    c2 = pickle.loads(pickle.dumps(c))
+    assert c2.size == 4 and c2.get("k") is None
+
+
+@needs_native
+def test_decode_cache_evicts_lru():
+    from rsgnet_tpu.data.dataset import _DecodeCache
+    c = _DecodeCache(size=2)
+    c.put("a", 1)
+    c.put("b", 2)
+    assert c.get("a") == 1          # refresh a
+    c.put("c", 3)                   # evicts b
+    assert c.get("b") is None and c.get("a") == 1 and c.get("c") == 3

@@ -72,6 +72,8 @@ def main():
     ap.add_argument("--images", type=int, default=200)
     ap.add_argument("--instances", type=int, default=600)
     ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--threads-only", action="store_true",
+                    help="skip the grain rows (decode-backend A/Bs)")
     args = ap.parse_args()
 
     from rsgnet_tpu.config.defaults import rsgnet_w32_256x192
@@ -86,12 +88,22 @@ def main():
         ds = get_dataset(cfg, root=root, image_set="val", is_train=True)
         print(f"{len(ds)} instances over {args.images} JPEGs, "
               f"batch {args.batch}")
+        from rsgnet_tpu.utils import native_jpeg
+        print(f"native jpeg decoder: "
+              f"{'on' if native_jpeg.available() else 'off'}")
         for workers in (1, 2, 4, 8):
             bl = BatchLoader(ds, args.batch, shuffle=True, drop_last=True,
                              num_workers=workers)
             r1 = drain(bl)          # warm (page cache)
             r2 = drain(bl)
             print(f"threads workers={workers}: {max(r1, r2):7.1f} samples/s")
+        # eval order (db order, instances of an image adjacent) — the decode
+        # cache's best case, and the order validate() actually uses
+        bl = BatchLoader(ds, args.batch, shuffle=False, num_workers=1)
+        r = max(drain(bl), drain(bl))
+        print(f"threads workers=1 eval-order: {r:7.1f} samples/s")
+        if args.threads_only:
+            return
         for workers in (0, 2, 4, 8):
             gl = GrainBatchLoader(ds, args.batch, shuffle=True,
                                   num_workers=workers)
