@@ -33,7 +33,7 @@ import numpy as np
 
 from rsgnet_tpu.config.defaults import Config
 from rsgnet_tpu.data.skeletons import KeypointSpec
-from rsgnet_tpu.utils.imageio import decode_image, read_bytes, read_image
+from rsgnet_tpu.utils.imageio import decode_image, read_bytes
 
 
 class _DecodeCache:
@@ -97,17 +97,24 @@ class TopDownDataset:
 
     def _needed_extent(self, scale: np.ndarray) -> np.ndarray:
         """(w, h) source-pixel extent the device warp can read for an
-        instance with this box scale (pixel_std 200). Training inflates by
-        the worst-case augmentation: scale jitter up to (1+SCALE_FACTOR),
-        half-body re-boxing (<=1.2x), and the rotated rect's bounding box
-        (|cos|+|sin| <= sqrt(2))."""
+        instance with this box scale (pixel_std 200), measured around the
+        detection-box center the >canvas window is placed on. Training
+        inflates by the worst-case augmentation: scale jitter up to
+        (1+SCALE_FACTOR), half-body re-boxing (<=1.2x), the rotated rect's
+        bounding box (|cos|+|sin| <= sqrt(2)), and — when half-body can
+        fire — the re-CENTERING onto the selected joints' mean, which can
+        sit up to ~box/2 from the detection center (joints lie inside the
+        box), widening the worst-case read region by a full box."""
         box = scale * 200.0
         if self.is_train:
             d = self.cfg.DATASET
             margin = (1.0 + d.SCALE_FACTOR) * 1.25
             if d.ROT_FACTOR > 0:
                 margin *= np.sqrt(2.0)
-            return box * margin + 4.0
+            extent = box * margin
+            if d.PROB_HALF_BODY > 0:
+                extent = extent + box
+            return extent + 4.0
         return box + 4.0
 
     def _decoded(self, path: str):
@@ -223,7 +230,14 @@ class TopDownDataset:
         than the padded canvas. Normalization stays fused on device.
         """
         rec = self.db[idx]
-        img = read_image(rec["image_path"], color_rgb=self.color_rgb)
+        # share the per-image decode (and the native libjpeg path) with
+        # load_sample: multi-person images decode once, not once per crop
+        decoded = self._decoded(rec["image_path"])
+        if decoded[0] == "canvas":
+            _, canvas, h, w = decoded
+            img = canvas[:h, :w]
+        else:
+            img = decoded[1]
         center = rec["center"].astype(np.float32)
         scale = rec["scale"].astype(np.float32)
         from rsgnet_tpu.ops.affine import get_affine_transform

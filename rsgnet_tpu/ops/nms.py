@@ -69,30 +69,42 @@ def oks_nms_np(kpts_db, thresh, sigmas, in_vis_thre=None):
 
 
 def soft_oks_nms_np(kpts_db, thresh, sigmas, in_vis_thre=None, max_dets=20):
-    """Soft OKS-NMS (reference `soft_oks_nms`): gaussian score decay."""
+    """Soft OKS-NMS (reference `soft_oks_nms`): gaussian score decay.
+
+    Selection is a max-scan over the live (cumulatively decayed) scores
+    rather than the reference's per-round ``argsort()[::-1]`` re-sort: on
+    exact score ties the reference's quicksort order is implementation-
+    defined (and a reversed *stable* re-sort ALTERNATES the order of
+    undecayed ties every round, which no fixed-rule kernel can reproduce).
+    The defined tie-break here — HIGHEST index among equal live scores —
+    is shared bit-for-bit by all three implementations (this oracle, the
+    C++ ``soft_oks_nms`` >= scan, and the device kernel's reversed argmax);
+    away from exact ties the semantics are identical to the reference.
+    """
     if len(kpts_db) == 0:
         return [], []
     scores = np.array([k['score'] for k in kpts_db], dtype=np.float64)
     kpts = np.array([k['keypoints'].flatten() for k in kpts_db])
     areas = np.array([k['area'] for k in kpts_db])
-    order = scores.argsort(kind="stable")[::-1]
-    scores = scores[order]
-    keep = np.zeros(max_dets, dtype=np.intp)
-    kept_scores = np.zeros(max_dets, dtype=np.float64)
-    keep_cnt = 0
-    while order.size > 0 and keep_cnt < max_dets:
-        i = order[0]
-        oks_ovr = oks_iou(kpts[i], kpts[order[1:]], areas[i], areas[order[1:]],
-                          sigmas, in_vis_thre)
-        kept_scores[keep_cnt] = scores[0]       # decayed score at selection
-        order = order[1:]
-        scores = _rescore(oks_ovr, scores[1:], thresh)
-        tmp = scores.argsort(kind="stable")[::-1]
-        order = order[tmp]
-        scores = scores[tmp]
-        keep[keep_cnt] = i
-        keep_cnt += 1
-    return list(keep[:keep_cnt]), kept_scores[:keep_cnt]
+    n = scores.shape[0]
+    live = scores.copy()
+    alive = np.ones(n, bool)
+    keep = []
+    kept_scores = []
+    while len(keep) < max_dets:
+        masked = np.where(alive, live, -np.inf)
+        i = int(n - 1 - np.argmax(masked[::-1]))  # tie -> highest index
+        if not alive[i]:
+            break
+        keep.append(i)
+        kept_scores.append(live[i])               # decayed score at selection
+        alive[i] = False
+        rest = np.where(alive)[0]
+        if rest.size:
+            oks_ovr = oks_iou(kpts[i], kpts[rest], areas[i], areas[rest],
+                              sigmas, in_vis_thre)
+            live[rest] = _rescore(oks_ovr, live[rest], thresh)
+    return keep, np.asarray(kept_scores)
 
 
 def _rescore(overlap, scores, thresh, type='gaussian'):
@@ -290,8 +302,8 @@ def soft_oks_nms_jax(kpts, scores, areas, sigmas, thresh, valid=None,
 
     def body(_, state):
         live_scores, out_scores, keep = state
-        # oracle tie-break: scores.argsort()[::-1] picks the HIGHEST index
-        # among equal scores; plain argmax would pick the lowest
+        # shared tie-break (NumPy oracle max-scan, C++ >= scan): the HIGHEST
+        # index among equal live scores; plain argmax would pick the lowest
         i = m - 1 - jnp.argmax(live_scores[::-1])
         ok = live_scores[i] > neg_inf / 2
         decay = jnp.exp(-(oks[i] ** 2) / thresh)

@@ -8,33 +8,14 @@ the NumPy oracle in :mod:`rsgnet_tpu.ops.nms` when no compiler exists.
 from __future__ import annotations
 
 import ctypes
-import os
-import subprocess
 import threading
 
 import numpy as np
 
-_CSRC = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.dirname(os.path.abspath(__file__)))), "csrc")
-_LIB_PATH = os.path.join(_CSRC, "liboks_nms.so")
+from rsgnet_tpu.utils.native_build import load_native_lib
+
 _LOCK = threading.Lock()
 _LIB = None
-
-
-def _build() -> bool:
-    try:
-        subprocess.run(["make", "-C", _CSRC], check=True,
-                       capture_output=True)
-        return True
-    except (subprocess.CalledProcessError, FileNotFoundError):
-        try:
-            subprocess.run(
-                ["g++", "-O3", "-fPIC", "-shared", "-std=c++17",
-                 "-o", _LIB_PATH, os.path.join(_CSRC, "oks_nms.cpp")],
-                check=True, capture_output=True)
-            return True
-        except (subprocess.CalledProcessError, FileNotFoundError):
-            return False
 
 
 def get_lib():
@@ -43,31 +24,10 @@ def get_lib():
     with _LOCK:
         if _LIB is not None:
             return _LIB or None
-        src = os.path.join(_CSRC, "oks_nms.cpp")
-        stale = (os.path.exists(_LIB_PATH) and os.path.exists(src)
-                 and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH))
-        if (stale or not os.path.exists(_LIB_PATH)) and not _build():
-            # a stale binary would silently keep old semantics; only fall
-            # back to it when no compiler exists at all
-            if not os.path.exists(_LIB_PATH):
-                _LIB = False
-                return None
-        try:
-            lib = ctypes.CDLL(_LIB_PATH)
-        except OSError:
-            # stale/foreign-arch binary: rebuild once, else NumPy fallback
-            try:
-                os.remove(_LIB_PATH)
-            except OSError:
-                pass
-            if not _build():
-                _LIB = False
-                return None
-            try:
-                lib = ctypes.CDLL(_LIB_PATH)
-            except OSError:
-                _LIB = False
-                return None
+        lib = load_native_lib("liboks_nms.so", "oks_nms.cpp")
+        if lib is None:
+            _LIB = False
+            return None
         f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
         i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
         lib.oks_nms.restype = ctypes.c_int

@@ -12,14 +12,12 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 import threading
 
 import numpy as np
 
-_CSRC = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.dirname(os.path.abspath(__file__)))), "csrc")
-_LIB_PATH = os.path.join(_CSRC, "libjpeg_loader.so")
+from rsgnet_tpu.utils.native_build import load_native_lib
+
 _LOCK = threading.Lock()
 _LIB = None
 
@@ -31,23 +29,6 @@ JL_ERR_DECODE = 1
 JL_ERR_TOO_BIG = 2
 
 
-def _build() -> bool:
-    try:
-        subprocess.run(["make", "-C", _CSRC, "libjpeg_loader.so"],
-                       check=True, capture_output=True)
-        return True
-    except (subprocess.CalledProcessError, FileNotFoundError):
-        try:
-            subprocess.run(
-                ["g++", "-O3", "-fPIC", "-shared", "-std=c++17",
-                 "-o", _LIB_PATH, os.path.join(_CSRC, "jpeg_loader.cpp"),
-                 "-ljpeg"],
-                check=True, capture_output=True)
-            return True
-        except (subprocess.CalledProcessError, FileNotFoundError):
-            return False
-
-
 def get_lib():
     """The loaded library, or None if unavailable (no compiler/libjpeg)."""
     global _LIB
@@ -56,30 +37,11 @@ def get_lib():
     with _LOCK:
         if _LIB is not None:
             return _LIB or None
-        src = os.path.join(_CSRC, "jpeg_loader.cpp")
-        stale = (os.path.exists(_LIB_PATH) and os.path.exists(src)
-                 and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH))
-        if (stale or not os.path.exists(_LIB_PATH)) and not _build():
-            # a stale binary would silently keep old semantics; only fall
-            # back to it when no compiler exists at all
-            if not os.path.exists(_LIB_PATH):
-                _LIB = False
-                return None
-        try:
-            lib = ctypes.CDLL(_LIB_PATH)
-        except OSError:
-            try:
-                os.remove(_LIB_PATH)
-            except OSError:
-                pass
-            if not _build():
-                _LIB = False
-                return None
-            try:
-                lib = ctypes.CDLL(_LIB_PATH)
-            except OSError:
-                _LIB = False
-                return None
+        lib = load_native_lib("libjpeg_loader.so", "jpeg_loader.cpp",
+                              extra_link=("-ljpeg",))
+        if lib is None:
+            _LIB = False
+            return None
         u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
         i32 = ctypes.POINTER(ctypes.c_int)
         lib.jpeg_header_dims.restype = ctypes.c_int
@@ -101,6 +63,49 @@ def is_jpeg(data: bytes) -> bool:
     return len(data) > 3 and data[:2] == b"\xff\xd8"
 
 
+def exif_orientation(data: bytes):
+    """The EXIF orientation tag (1-8), or None when absent/unparsable.
+
+    libjpeg ignores EXIF entirely, but the decode path this replaces
+    (cv2.imdecode) APPLIES the orientation tag — so the native path must
+    decline oriented JPEGs and let cv2 keep the established geometry
+    (annotations are authored against the oriented pixels). Header-only
+    scan: walks JPEG markers to APP1/Exif and reads IFD0 tag 0x0112."""
+    i, n = 2, len(data)
+    while i + 4 <= n:
+        if data[i] != 0xFF:
+            return None
+        marker = data[i + 1]
+        if marker == 0x01 or 0xD0 <= marker <= 0xD9:   # standalone markers
+            i += 2
+            continue
+        if marker == 0xDA:                  # start of scan: EXIF precedes it
+            return None
+        seglen = int.from_bytes(data[i + 2:i + 4], "big")
+        if seglen < 2:
+            return None
+        if marker == 0xE1 and data[i + 4:i + 10] == b"Exif\x00\x00":
+            tiff = data[i + 10:i + 2 + seglen]
+            if len(tiff) < 8:
+                return None
+            bo = {b"II": "little", b"MM": "big"}.get(tiff[:2])
+            if bo is None:
+                return None
+            off = int.from_bytes(tiff[4:8], bo)
+            if off + 2 > len(tiff):
+                return None
+            cnt = int.from_bytes(tiff[off:off + 2], bo)
+            for t in range(cnt):
+                e = off + 2 + 12 * t
+                if e + 12 > len(tiff):
+                    return None
+                if int.from_bytes(tiff[e:e + 2], bo) == 0x0112:
+                    return int.from_bytes(tiff[e + 8:e + 10], bo)
+            return None
+        i += 2 + seglen
+    return None
+
+
 def decode_into(data: bytes, canvas: np.ndarray):
     """Decode JPEG ``data`` into the top-left of ``canvas`` (H, W, 3 uint8,
     C-contiguous). Returns (h, w) on success; None when the native path
@@ -110,6 +115,8 @@ def decode_into(data: bytes, canvas: np.ndarray):
     """
     if not is_jpeg(data):
         return None
+    if exif_orientation(data) not in (None, 1):
+        return None                    # cv2 fallback applies the rotation
     lib = get_lib()
     if lib is None:
         return None
@@ -134,6 +141,8 @@ def decode(data: bytes):
     when the native path cannot handle this input."""
     if not is_jpeg(data):
         return None
+    if exif_orientation(data) not in (None, 1):
+        return None                    # cv2 fallback applies the rotation
     lib = get_lib()
     if lib is None:
         return None

@@ -15,6 +15,13 @@ def run_tool(args, timeout=900):
     env = dict(os.environ)
     env["RSGNET_FORCE_PLATFORM"] = "cpu"
     env["JAX_PLATFORMS"] = "cpu"
+    # fresh interpreters share the suite's persistent compile cache
+    # (conftest.py — VERDICT round-2 item 9): repeat runs skip XLA:CPU
+    # compiles entirely
+    env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(REPO,
+                                                    ".jax_compile_cache")
+    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0.5"
+    env["JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES"] = "0"
     return subprocess.run([sys.executable] + args, cwd=REPO, env=env,
                           capture_output=True, text=True, timeout=timeout)
 

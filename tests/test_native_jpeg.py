@@ -167,8 +167,64 @@ def test_decode_cache_pickles_fresh():
     assert c2.size == 4 and c2.get("k") is None
 
 
-@needs_native
+def test_exif_oriented_jpeg_declined_and_routed_to_cv2():
+    """cv2.imdecode (the decode path the native loader replaced) APPLIES the
+    EXIF orientation tag; libjpeg ignores it. Oriented JPEGs must therefore
+    be declined by the native path so decode_image keeps cv2's geometry —
+    otherwise predictions land on rotated pixels with no error raised."""
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.RandomState(11)
+    arr = rng.randint(0, 256, (100, 60, 3), dtype=np.uint8)
+    exif = Image.Exif()
+    exif[274] = 6                         # orientation: rotate 90 CW
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="JPEG", quality=90, exif=exif)
+    data = buf.getvalue()
+
+    assert native_jpeg.exif_orientation(data) == 6
+    assert native_jpeg.decode(data) is None
+    canvas = np.zeros((640, 640, 3), np.uint8)
+    assert native_jpeg.decode_into(data, canvas) is None
+
+    from rsgnet_tpu.utils.imageio import decode_image
+    got = decode_image(data)
+    want = cv2.cvtColor(
+        cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR),
+        cv2.COLOR_BGR2RGB)
+    assert want.shape == (60, 100, 3)     # cv2 applied the rotation
+    np.testing.assert_array_equal(got, want)
+
+    # untagged (and orientation=1) JPEGs stay on the native path
+    plain = _jpeg_bytes(arr)
+    assert native_jpeg.exif_orientation(plain) is None
+    if native_jpeg.available():
+        assert native_jpeg.decode(plain) is not None
+
+
+def test_half_body_widens_needed_extent():
+    """Half-body aug re-centers onto the selected joints' mean (up to ~box/2
+    from the detection center the >canvas window is placed around), so the
+    training read-extent must widen by a full box when it can fire."""
+    from rsgnet_tpu.config.defaults import tiny_rsgnet
+    from rsgnet_tpu.data.dataset import TopDownDataset
+    from rsgnet_tpu.data.skeletons import get_spec
+
+    cfg = tiny_rsgnet()
+    cfg.DATASET.PROB_HALF_BODY = 0.3
+    ds = TopDownDataset(cfg, root="/nonexistent", image_set="train",
+                        is_train=True, spec=get_spec("coco"))
+    scale = np.array([1.0, 1.0], np.float32)        # 200 px box
+    with_hb = ds._needed_extent(scale)
+    cfg.DATASET.PROB_HALF_BODY = 0.0
+    without_hb = ds._needed_extent(scale)
+    np.testing.assert_allclose(with_hb - without_hb, 200.0)
+    # eval extent is untouched by training margins
+    ds.is_train = False
+    np.testing.assert_allclose(ds._needed_extent(scale), 204.0)
+
+
 def test_decode_cache_evicts_lru():
+    # pure-Python cache logic — must run in PIL-fallback environments too
     from rsgnet_tpu.data.dataset import _DecodeCache
     c = _DecodeCache(size=2)
     c.put("a", 1)

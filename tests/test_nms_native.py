@@ -125,8 +125,8 @@ def test_duplicate_suppression():
 def test_exact_score_ties_three_way(seed):
     """Quantized scores (every instance ties with several others): all three
     implementations must agree — the tie-break is defined as 'highest index
-    first among equal scores' (the oracle's reversed stable argsort).
-    VERDICT round-2 item 8."""
+    first among equal scores' (oracle: stable-sort / max-scan; C++: >= scan;
+    device: reversed argmax). VERDICT round-2 item 8."""
     import jax.numpy as jnp
     from rsgnet_tpu.ops.nms import oks_nms_jax, soft_oks_nms_jax
 
@@ -155,6 +155,32 @@ def test_exact_score_ties_three_way(seed):
     kpts = np.stack([np.asarray(d["keypoints"], np.float32) for d in db])
     scores = np.asarray([d["score"] for d in db], np.float32)
     areas = np.asarray([d["area"] for d in db], np.float32)
+    keep_j, sc_j = soft_oks_nms_jax(jnp.asarray(kpts), jnp.asarray(scores),
+                                    jnp.asarray(areas), SIGMAS, 0.9,
+                                    max_dets=6)
+    assert sorted(np.where(np.asarray(keep_j))[0].tolist()) == sorted(keep_n)
+    np.testing.assert_allclose(np.asarray(sc_j)[np.asarray(keep_n)],
+                               np.asarray(sc_n, np.float32), rtol=1e-4)
+
+    # UNDECAYED exact ties: far-apart instances (mutual OKS == 0, so the
+    # gaussian decay is exactly 1) with one shared score keep the tie alive
+    # into EVERY selection round — the regime where a per-round re-sort
+    # oracle alternated tie order and the kept SET diverged across backends.
+    far = []
+    for i, d in enumerate(db):
+        kp = np.asarray(d["keypoints"], np.float32).copy()
+        kp[:, 0] += 10000.0 * (i + 1)
+        far.append({"keypoints": kp, "score": 0.7, "area": d["area"]})
+    keep_n, sc_n = soft_oks_nms_np(far, 0.9, SIGMAS, max_dets=6)
+    # the defined rule, explicitly: highest index first among pure ties
+    assert list(keep_n) == [9, 8, 7, 6, 5, 4]
+    np.testing.assert_allclose(sc_n, 0.7, rtol=1e-6)
+    keep_c, sc_c = soft_oks_nms_cpp(far, 0.9, SIGMAS, max_dets=6)
+    assert keep_c == list(keep_n), seed
+    np.testing.assert_allclose(sc_c, np.asarray(sc_n, np.float32), rtol=1e-5)
+    kpts = np.stack([np.asarray(d["keypoints"], np.float32) for d in far])
+    scores = np.asarray([d["score"] for d in far], np.float32)
+    areas = np.asarray([d["area"] for d in far], np.float32)
     keep_j, sc_j = soft_oks_nms_jax(jnp.asarray(kpts), jnp.asarray(scores),
                                     jnp.asarray(areas), SIGMAS, 0.9,
                                     max_dets=6)
