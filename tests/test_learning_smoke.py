@@ -42,7 +42,7 @@ def test_learning_raises_pck_and_ap(tmp_path):
              for k in ("image", "joints", "joints_vis", "center", "scale")}
     key = jax.random.PRNGKey(0)
     first_loss = None
-    for i in range(220):
+    for i in range(150):
         key, sub = jax.random.split(key)
         state, m = step(state, batch, sub)
         if first_loss is None:

@@ -25,8 +25,9 @@ an absolute bar; the cross-model check only guards against the head
 actively hurting. (This is the honest version of VERDICT round-1 item 4:
 the head's uplift is demonstrated within-model, where it is measurable.)
 
-This is the slowest default-suite test (~7 min on 1 CPU): two tiny-model
-trainings of 200 steps. The long full-stack overfit lives behind
+One of the slowest default-suite tests (~2.5 min on 1 CPU): one tiny-model
+training of 140 steps (the cross-model control trains a second model and is
+slow-suite only). The long full-stack overfit lives behind
 RSGNET_SLOW_TESTS in test_overfit_e2e.py.
 """
 import numpy as np
@@ -93,7 +94,11 @@ def _metrics(hm, tj, ij):
     return float((dt < di).mean()), float((dt < 4.0).mean())
 
 
-def _train(name, seed=0, steps=200, batch=12):
+def _train(name, seed=0, steps=140, batch=12):
+    # 140 steps (down from 200 — VERDICT round-2 item 9 wall-time budget):
+    # recalibrated at 140, seeds 0/1: disamb final 0.899/0.866 vs initial
+    # 0.652/0.711 (paired gaps +0.247/+0.155 vs the +0.04 assertion), pck
+    # gaps +0.31/+0.10 vs +0.03 — margins stay well above the bars
     cfg = tiny_rsgnet()
     cfg.MODEL.NUM_JOINTS = K
     cfg.DATASET.DATASET = "crowdpose"
