@@ -107,11 +107,15 @@ def test_validate_with_grain_loader_matches_threads(ds):
             maxvals[j, :, 0] = oracle[idx]["joints_vis"]
         return preds, maxvals
 
+    # num_workers=2 (not the 8 default): each grain worker is a process
+    # spawn on this 1-core host; 2 still exercises the multiprocess path
     _, ap_threads = validate(cfg, ds, model=None, variables=None,
-                             batch_size=3, infer_fn=(fake_infer, "image"))
+                             batch_size=3, num_workers=2,
+                             infer_fn=(fake_infer, "image"))
     cfg.TEST.LOADER = "grain"
     _, ap_grain = validate(cfg, ds, model=None, variables=None,
-                           batch_size=3, infer_fn=(fake_infer, "image"))
+                           batch_size=3, num_workers=2,
+                           infer_fn=(fake_infer, "image"))
     assert ap_grain == ap_threads == pytest.approx(1.0)
 
 
