@@ -211,6 +211,10 @@ class Config:
 # this framework reads. Setting them to a non-default value gets a warning
 # instead of silently changing nothing (SURVEY.md §5.6).
 _ACCEPTED_UNREAD_KEYS = {
+    "GPUS": "device selection is JAX's: training shards over ALL local "
+            "devices (restrict with JAX_VISIBLE_DEVICES if needed)",
+    "DATA_DIR": "the reference defines but never reads it either; dataset "
+                "location comes from DATASET.ROOT",
     "TEST.BBOX_THRE": "detector boxes are filtered by TEST.IMAGE_THRE only",
     "TEST.NMS_THRE": "pose dedup uses OKS-NMS (TEST.OKS_THRE); there is no "
                      "bbox-IoU NMS stage in the top-down eval path",

@@ -1,6 +1,7 @@
 """Config system tests: reference-style YAMLs must port 1:1 (SURVEY.md §5.6)."""
 import glob
 import os
+import sys
 
 import pytest
 
@@ -108,6 +109,28 @@ def test_unread_reference_keys_warn():
         update_config(Config(), {"TRAIN": {"GAMMA1": 0.5}})
     with pytest.warns(UserWarning, match="read nowhere"):
         update_config(Config(), {"DATASET": {"SELECT_DATA": True}})
+    # GPUS selects DataParallel devices in the reference; here JAX shards
+    # over all local devices, so a non-default pin must not pass silently
+    with pytest.warns(UserWarning, match="read nowhere"):
+        update_config(Config(), {"GPUS": (0, 1, 2, 3)})
+
+
+def test_cli_workers_default_to_cfg():
+    """tools/{train,test}.py --workers omitted -> cfg.WORKERS is the source
+    of truth, so reference YAMLs' WORKERS key is honored."""
+    import importlib.util
+    sys.path.insert(0, os.path.join(REPO, "tools"))  # tools import _init_paths
+    for tool in ("train", "test"):
+        spec = importlib.util.spec_from_file_location(
+            f"_tool_{tool}", os.path.join(REPO, "tools", f"{tool}.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        old = sys.argv
+        try:
+            sys.argv = [f"{tool}.py", "--cfg", "x.yaml"]
+            assert mod.parse_args().workers is None
+        finally:
+            sys.argv = old
 
 
 def test_config_doc_in_sync():

@@ -22,7 +22,8 @@ from rsgnet_tpu.utils.logger import create_logger
 def parse_args():
     p = argparse.ArgumentParser(description="Evaluate keypoint network")
     p.add_argument("--cfg", required=True)
-    p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--workers", type=int, default=None,
+                   help="host loader workers (default: cfg WORKERS)")
     p.add_argument("--pipeline", choices=("device", "host"), default="device",
                    help="eval preprocessing: fused device warp, or "
                         "reference-style host crop (low-bandwidth links)")
@@ -43,7 +44,9 @@ def main():
         if len(jax.devices()) > 1 else None
     name_value, ap = validate(cfg, dataset, model, variables,
                               output_dir=output_dir, logger=logger,
-                              num_workers=args.workers, mesh=mesh,
+                              num_workers=cfg.WORKERS if args.workers is None
+                              else args.workers,
+                              mesh=mesh,
                               pipeline=args.pipeline)
     logger.info("AP: %.4f", ap)
     for k, v in name_value.items():

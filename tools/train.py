@@ -22,7 +22,8 @@ def parse_args():
     p = argparse.ArgumentParser(description="Train keypoint network")
     p.add_argument("--cfg", required=True, help="experiment yaml")
     p.add_argument("--dataDir", default="", help="override DATASET.ROOT")
-    p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--workers", type=int, default=None,
+                   help="host loader workers (default: cfg WORKERS)")
     p.add_argument("--max-epochs", type=int, default=None,
                    help="cap END_EPOCH (smoke runs)")
     p.add_argument("--eval-every", type=int, default=1,
@@ -49,7 +50,9 @@ def main():
     train_ds = get_dataset(cfg, is_train=True)
     val_ds = get_dataset(cfg, is_train=False)
     state, best = fit(cfg, model, train_ds, val_ds, output_dir=output_dir,
-                      logger=logger, num_workers=args.workers,
+                      logger=logger,
+                      num_workers=cfg.WORKERS if args.workers is None
+                      else args.workers,
                       max_epochs=args.max_epochs, tb_dir=tb_dir,
                       eval_every=args.eval_every)
     logger.info("done; best perf %.4f", best)
