@@ -63,7 +63,8 @@ def drain(loader):
     n = 0
     t0 = time.perf_counter()
     for batch in loader:
-        n += int(batch.get("num_valid", batch["image"].shape[0]))
+        first = batch["image"] if "image" in batch else batch["input"]
+        n += int(batch.get("num_valid", first.shape[0]))
     return n / (time.perf_counter() - t0)
 
 
@@ -74,9 +75,17 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--threads-only", action="store_true",
                     help="skip the grain rows (decode-backend A/Bs)")
+    ap.add_argument("--cfg", default=None,
+                    help="experiment yaml (default: built-in W32@256x192); "
+                         "host canvas work is config-independent, but the "
+                         "host-CROP pipeline scales with MODEL.IMAGE_SIZE")
+    ap.add_argument("--host-crop", action="store_true",
+                    help="also measure the reference-style host-crop "
+                         "pipeline (what tools/test.py --pipeline host "
+                         "feeds) — the one config-size-dependent host path")
     args = ap.parse_args()
 
-    from rsgnet_tpu.config.defaults import rsgnet_w32_256x192
+    from rsgnet_tpu.config.defaults import load_config, rsgnet_w32_256x192
     from rsgnet_tpu.data import get_dataset
     from rsgnet_tpu.data.grain_pipeline import GrainBatchLoader
     from rsgnet_tpu.data.loader import BatchLoader
@@ -84,7 +93,7 @@ def main():
     print(f"host cores: {os.cpu_count()}")
     with tempfile.TemporaryDirectory() as root:
         build_fixture(root, args.images, args.instances)
-        cfg = rsgnet_w32_256x192()
+        cfg = load_config(args.cfg) if args.cfg else rsgnet_w32_256x192()
         ds = get_dataset(cfg, root=root, image_set="val", is_train=True)
         print(f"{len(ds)} instances over {args.images} JPEGs, "
               f"batch {args.batch}")
@@ -102,6 +111,15 @@ def main():
         bl = BatchLoader(ds, args.batch, shuffle=False, num_workers=1)
         r = max(drain(bl), drain(bl))
         print(f"threads workers=1 eval-order: {r:7.1f} samples/s")
+        if args.host_crop:
+            hw = tuple(cfg.MODEL.IMAGE_SIZE)
+            eds = get_dataset(cfg, root=root, image_set="val",
+                              is_train=False)
+            bl = BatchLoader(eds, args.batch, shuffle=False, num_workers=1,
+                             cropped=True)
+            r = max(drain(bl), drain(bl))
+            print(f"host-crop workers=1 eval-order ({hw[0]}x{hw[1]}): "
+                  f"{r:7.1f} samples/s")
         if args.threads_only:
             return
         for workers in (0, 2, 4, 8):
