@@ -168,9 +168,16 @@ def fit(cfg: Config, model, train_dataset, val_dataset=None,
         val_infer = make_validate_infer_fn(cfg, model, val_dataset,
                                            mesh=mesh)
     end_epoch = min(cfg.TRAIN.END_EPOCH, max_epochs or cfg.TRAIN.END_EPOCH)
-    rng = jax.random.PRNGKey(begin_epoch + 1)
+    # Per-epoch streams are pure functions of the epoch NUMBER (fold_in), not
+    # of a running split chain, and the loader's shuffle order is pinned to
+    # the same epoch number — so a run killed at any epoch boundary and
+    # auto-resumed is bitwise-identical to an uninterrupted run
+    # (tests/test_resume_equivalence.py).
+    base_rng = jax.random.PRNGKey(0)
     for epoch in range(begin_epoch, end_epoch):
-        rng, erng = jax.random.split(rng)
+        erng = jax.random.fold_in(base_rng, epoch)
+        if hasattr(loader, "set_epoch"):
+            loader.set_epoch(epoch)
         state, loss = train_one_epoch(step_fn, state, loader, erng, epoch,
                                       shard, logger, cfg.PRINT_FREQ,
                                       cfg=cfg, debug_dir=output_dir)

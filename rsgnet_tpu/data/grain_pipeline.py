@@ -77,6 +77,12 @@ class GrainBatchLoader:
     def __len__(self):
         return len(self.dataset) // self.batch_size
 
+    def set_epoch(self, epoch: int):
+        """Pin the shuffle order to a global epoch number (see
+        ``BatchLoader.set_epoch``) — keeps resumed runs on the same data
+        order as uninterrupted ones."""
+        self.epoch = int(epoch)
+
     def __iter__(self):
         loader = make_grain_loader(
             self.dataset, self.batch_size, shuffle=self.shuffle,

@@ -41,6 +41,14 @@ class BatchLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def set_epoch(self, epoch: int):
+        """Pin the shuffle order to a global epoch number (torch
+        ``DistributedSampler.set_epoch`` analogue).  ``fit()`` calls this
+        every epoch so a resumed run sees the SAME data order the
+        uninterrupted run would have — without it the order depends on how
+        many times this loader object happened to be iterated."""
+        self.epoch = int(epoch)
+
     def _index_batches(self):
         """List of (indices, num_real) — indices padded to batch_size by
         repeating the last real index."""

@@ -35,6 +35,7 @@ def save_checkpoint(out_dir: str, state, epoch: int, perf: float,
     os.makedirs(out_dir, exist_ok=True)
     payload = {
         "epoch": epoch,
+        "step": int(state.step),
         "params": _to_host(state.params),
         "batch_stats": _to_host(state.batch_stats),
         # to_state_dict: optax states are (named)tuples msgpack can't encode
@@ -72,6 +73,11 @@ def load_checkpoint(path: str, state) -> Tuple[Any, int, float]:
     batch_stats = serialization.from_state_dict(state.batch_stats,
                                                 raw["batch_stats"])
     kw = dict(params=params, batch_stats=batch_stats)
+    if "step" in raw:
+        # TrainState.step mirrors the optax count; restoring it keeps a
+        # resumed run's step numbering identical to an uninterrupted one
+        # (tests/test_resume_equivalence.py)
+        kw["step"] = int(raw["step"])
     if "opt_state" in raw:
         try:
             kw["opt_state"] = serialization.from_state_dict(state.opt_state,
