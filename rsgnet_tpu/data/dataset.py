@@ -44,16 +44,27 @@ class _DecodeCache:
     averages >2 instances/image, and eval iterates in db order where they
     are adjacent). Entries are treated as read-only by all consumers —
     ``collate``'s ``np.stack`` copies before anything touches device or
-    augmentation."""
+    augmentation.
 
-    def __init__(self, size: int = 32):
-        self.size = size
+    Bounded by BYTES, not entry count: "full" entries hold full-resolution
+    decodes (a 2000x3000 CrowdPose image is ~18 MB, 15x a 640^2 canvas), so
+    a count bound would let worst-case memory balloon ~15x — and the cache
+    is duplicated per dataset object and per grain worker process. 64 MB
+    covers ~52 canvases (the adjacent-instance access pattern needs ~1)."""
+
+    def __init__(self, max_bytes: int = 64 * 1024 * 1024):
+        self.max_bytes = max_bytes
         self._d: OrderedDict = OrderedDict()
+        self._bytes = 0
         self._lock = threading.Lock()
 
     def __reduce__(self):
         # holds a Lock: pickle (grain/mp workers) as an empty fresh cache
-        return (_DecodeCache, (self.size,))
+        return (_DecodeCache, (self.max_bytes,))
+
+    @staticmethod
+    def _nbytes(val) -> int:
+        return sum(int(v.nbytes) for v in val if isinstance(v, np.ndarray))
 
     def get(self, key):
         with self._lock:
@@ -63,13 +74,18 @@ class _DecodeCache:
             return v
 
     def put(self, key, val):
-        if self.size <= 0:
-            return
+        nb = self._nbytes(val)
+        if nb > self.max_bytes:
+            return                        # larger than the whole budget
         with self._lock:
+            old = self._d.pop(key, None)
+            if old is not None:
+                self._bytes -= self._nbytes(old)
             self._d[key] = val
-            self._d.move_to_end(key)
-            while len(self._d) > self.size:
-                self._d.popitem(last=False)
+            self._bytes += nb
+            while self._bytes > self.max_bytes and self._d:
+                _, ev = self._d.popitem(last=False)
+                self._bytes -= self._nbytes(ev)
 
 
 class TopDownDataset:

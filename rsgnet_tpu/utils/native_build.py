@@ -46,25 +46,40 @@ def load_native_lib(lib_name: str, src_name: str,
       once, then give up to the caller's pure-Python fallback.
 
     Callers hold their own lock/cache and attach argtypes to the result.
+    Grain/multiprocess data-loader workers share one csrc/ directory, so the
+    whole check-build-load sequence holds an inter-process ``flock`` — a
+    worker can neither dlopen a half-written library nor delete one a
+    sibling just finished building.
     """
     lib_path = os.path.join(CSRC, lib_name)
     src = os.path.join(CSRC, src_name)
-    stale = (os.path.exists(lib_path) and os.path.exists(src)
-             and os.path.getmtime(src) > os.path.getmtime(lib_path))
-    if ((stale or not os.path.exists(lib_path))
-            and not _build(lib_path, src, lib_name, extra_link)):
-        if not os.path.exists(lib_path):
-            return None
     try:
-        return ctypes.CDLL(lib_path)
+        lock_f = open(os.path.join(CSRC, ".build.lock"), "a+")
     except OSError:
-        try:
-            os.remove(lib_path)
-        except OSError:
-            pass
-        if not _build(lib_path, src, lib_name, extra_link):
-            return None
+        lock_f = None                      # read-only checkout: no lock, but
+    try:                                   # then nobody can build/delete
+        if lock_f is not None:
+            import fcntl
+            fcntl.flock(lock_f, fcntl.LOCK_EX)
+        stale = (os.path.exists(lib_path) and os.path.exists(src)
+                 and os.path.getmtime(src) > os.path.getmtime(lib_path))
+        if ((stale or not os.path.exists(lib_path))
+                and not _build(lib_path, src, lib_name, extra_link)):
+            if not os.path.exists(lib_path):
+                return None
         try:
             return ctypes.CDLL(lib_path)
         except OSError:
-            return None
+            try:
+                os.remove(lib_path)
+            except OSError:
+                pass
+            if not _build(lib_path, src, lib_name, extra_link):
+                return None
+            try:
+                return ctypes.CDLL(lib_path)
+            except OSError:
+                return None
+    finally:
+        if lock_f is not None:
+            lock_f.close()                 # closing releases the flock

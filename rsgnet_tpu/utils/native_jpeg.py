@@ -63,8 +63,16 @@ def is_jpeg(data: bytes) -> bool:
     return len(data) > 3 and data[:2] == b"\xff\xd8"
 
 
+#: sentinel for "could not parse the marker stream" — distinct from None
+#: ("well-formed walk, no orientation tag") so callers FAIL CLOSED: a JPEG
+#: whose headers we can't read might still carry an orientation tag, and
+#: decoding it natively (unrotated) would silently break the geometry.
+PARSE_FAILED = object()
+
+
 def exif_orientation(data: bytes):
-    """The EXIF orientation tag (1-8), or None when absent/unparsable.
+    """The EXIF orientation tag (1-8), None when a well-formed marker walk
+    finds no orientation, or ``PARSE_FAILED`` on any parse anomaly.
 
     libjpeg ignores EXIF entirely, but the decode path this replaces
     (cv2.imdecode) APPLIES the orientation tag — so the native path must
@@ -74,36 +82,39 @@ def exif_orientation(data: bytes):
     i, n = 2, len(data)
     while i + 4 <= n:
         if data[i] != 0xFF:
-            return None
+            return PARSE_FAILED
         marker = data[i + 1]
+        if marker == 0xFF:                  # legal fill byte; marker follows
+            i += 1
+            continue
         if marker == 0x01 or 0xD0 <= marker <= 0xD9:   # standalone markers
             i += 2
             continue
         if marker == 0xDA:                  # start of scan: EXIF precedes it
             return None
         seglen = int.from_bytes(data[i + 2:i + 4], "big")
-        if seglen < 2:
-            return None
+        if seglen < 2 or i + 2 + seglen > n:
+            return PARSE_FAILED
         if marker == 0xE1 and data[i + 4:i + 10] == b"Exif\x00\x00":
             tiff = data[i + 10:i + 2 + seglen]
             if len(tiff) < 8:
-                return None
+                return PARSE_FAILED
             bo = {b"II": "little", b"MM": "big"}.get(tiff[:2])
             if bo is None:
-                return None
+                return PARSE_FAILED
             off = int.from_bytes(tiff[4:8], bo)
             if off + 2 > len(tiff):
-                return None
+                return PARSE_FAILED
             cnt = int.from_bytes(tiff[off:off + 2], bo)
             for t in range(cnt):
                 e = off + 2 + 12 * t
                 if e + 12 > len(tiff):
-                    return None
+                    return PARSE_FAILED
                 if int.from_bytes(tiff[e:e + 2], bo) == 0x0112:
                     return int.from_bytes(tiff[e + 8:e + 10], bo)
-            return None
+            return None                     # well-formed EXIF, no 0x0112
         i += 2 + seglen
-    return None
+    return PARSE_FAILED                     # truncated header (no SOS seen)
 
 
 def decode_into(data: bytes, canvas: np.ndarray):

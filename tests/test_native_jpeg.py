@@ -80,9 +80,15 @@ def test_non_jpeg_returns_none():
 @needs_native
 def test_corrupt_jpeg_returns_none_not_crash():
     data = _jpeg_bytes(np.zeros((32, 32, 3), np.uint8))
-    # truncate mid-stream and flip some bytes: must fail cleanly, not exit()
-    bad = bytearray(data[: len(data) // 2])
-    assert native_jpeg.decode(bytes(bad)) is None or True  # no crash is the bar
+    # truncated mid-stream: must fail cleanly, not exit(). libjpeg treats
+    # premature EOF as a WARNING (suppressed by emit_silent), so a partial
+    # decode to the full header dims is an acceptable outcome; crashing or
+    # returning a wrong-shaped array is not. Truncating inside the HEADER
+    # makes exif_orientation fail closed -> None.
+    bad = bytes(data[: len(data) // 2])
+    out = native_jpeg.decode(bad)
+    assert out is None or out.shape == (32, 32, 3)
+    assert native_jpeg.decode(bad[:8]) is None
     garbage = b"\xff\xd8" + b"\x00" * 64
     assert native_jpeg.decode(garbage) is None
 
@@ -161,10 +167,10 @@ def test_decode_cache_shares_across_instances(tmp_path):
 
 def test_decode_cache_pickles_fresh():
     from rsgnet_tpu.data.dataset import _DecodeCache
-    c = _DecodeCache(size=4)
+    c = _DecodeCache(max_bytes=4096)
     c.put("k", ("canvas", np.zeros((2, 2, 3), np.uint8), 2, 2))
     c2 = pickle.loads(pickle.dumps(c))
-    assert c2.size == 4 and c2.get("k") is None
+    assert c2.max_bytes == 4096 and c2.get("k") is None
 
 
 def test_exif_oriented_jpeg_declined_and_routed_to_cv2():
@@ -201,6 +207,25 @@ def test_exif_oriented_jpeg_declined_and_routed_to_cv2():
         assert native_jpeg.decode(plain) is not None
 
 
+def test_exif_parse_failure_fails_closed():
+    """A JPEG whose marker stream we can't parse might still carry an
+    orientation tag, so the native path must DECLINE (cv2/PIL fallback keeps
+    the geometry) — parse failure is NOT 'no EXIF'. Legal 0xFF fill bytes
+    before a marker must not derail the walk either."""
+    data = _jpeg_bytes(np.zeros((16, 16, 3), np.uint8))
+    # fill bytes between segments are legal: still a well-formed walk
+    padded = data[:2] + b"\xff\xff" + data[2:]
+    assert native_jpeg.exif_orientation(padded) is None
+    # truncated header -> PARSE_FAILED -> both decoders decline
+    assert native_jpeg.exif_orientation(data[:6]) is native_jpeg.PARSE_FAILED
+    assert native_jpeg.decode(data[:6]) is None
+    # non-marker byte where a marker must be -> PARSE_FAILED
+    bad = b"\xff\xd8" + b"\x12\x34" + b"\x00" * 32
+    assert native_jpeg.exif_orientation(bad) is native_jpeg.PARSE_FAILED
+    assert native_jpeg.decode_into(bad, np.zeros((64, 64, 3), np.uint8)) \
+        is None
+
+
 def test_half_body_widens_needed_extent():
     """Half-body aug re-centers onto the selected joints' mean (up to ~box/2
     from the detection center the >canvas window is placed around), so the
@@ -223,12 +248,23 @@ def test_half_body_widens_needed_extent():
     np.testing.assert_allclose(ds._needed_extent(scale), 204.0)
 
 
-def test_decode_cache_evicts_lru():
-    # pure-Python cache logic — must run in PIL-fallback environments too
+def test_decode_cache_evicts_lru_by_bytes():
+    # pure-Python cache logic — must run in PIL-fallback environments too.
+    # Byte-budgeted: a "full" entry (full-resolution decode) costs its real
+    # size, so big entries evict many small ones and memory stays bounded.
     from rsgnet_tpu.data.dataset import _DecodeCache
-    c = _DecodeCache(size=2)
-    c.put("a", 1)
-    c.put("b", 2)
-    assert c.get("a") == 1          # refresh a
-    c.put("c", 3)                   # evicts b
-    assert c.get("b") is None and c.get("a") == 1 and c.get("c") == 3
+    kb = np.zeros(1024, np.uint8)
+    c = _DecodeCache(max_bytes=2 * 1024)
+    c.put("a", ("full", kb))
+    c.put("b", ("full", kb.copy()))
+    assert c.get("a") is not None    # refresh a
+    c.put("c", ("full", kb.copy()))  # evicts b (LRU), not a
+    assert c.get("b") is None and c.get("a") is not None \
+        and c.get("c") is not None
+    # re-putting the same key replaces, not double-counts
+    c.put("a", ("full", kb.copy()))
+    assert c.get("c") is not None
+    # an entry larger than the whole budget is declined (and evicts nothing)
+    c.put("huge", ("full", np.zeros(4096, np.uint8)))
+    assert c.get("huge") is None and c.get("a") is not None
+    assert c._bytes <= c.max_bytes
