@@ -49,10 +49,10 @@ def test_resume_bitwise_equals_uninterrupted(fixture_root, tmp_path):
     cfg = tiny_rsgnet()
     cfg.TRAIN.BATCH_SIZE_PER_GPU = 1        # 8 virtual devices -> batch 8
     cfg.TRAIN.SHUFFLE = True                # the order-sensitive part
-    cfg.TRAIN.END_EPOCH = 3
+    cfg.TRAIN.END_EPOCH = 2                 # kill after 1, resume for 1
 
-    straight = _run(cfg, fixture_root, str(tmp_path / "straight"), 3, 3)
-    resumed = _run(cfg, fixture_root, str(tmp_path / "resumed"), 1, 3)
+    straight = _run(cfg, fixture_root, str(tmp_path / "straight"), 2, 2)
+    resumed = _run(cfg, fixture_root, str(tmp_path / "resumed"), 1, 2)
 
     assert int(straight.step) == int(resumed.step) > 0
     for name, a, b in (("params", straight.params, resumed.params),
