@@ -8,6 +8,7 @@
 """
 import argparse
 import json
+import sys
 
 import _init_paths  # noqa: F401
 import jax
@@ -60,6 +61,11 @@ def main():
         box = np.array([float(v) for v in args.box.split(",")])
 
     model = get_pose_net(cfg)
+    if not args.ckpt and not args.demo:
+        # load_weights("") returns the RANDOM init (smoke mode) — on a real
+        # image that prints plausible-looking garbage, so say so loudly
+        print("WARNING: no --ckpt given; running with RANDOM-INIT weights "
+              "(output is not a real prediction)", file=sys.stderr)
     variables = load_weights(cfg, model, args.ckpt)
     c, s = box_to_center_scale(box, cfg.aspect_ratio)
     cb = np.asarray(c, np.float32)[None]

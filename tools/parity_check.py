@@ -32,6 +32,8 @@ def main():
     p.add_argument("--expected-ap", type=float, default=None,
                    help="reference AP (percent or fraction) to gate against")
     p.add_argument("--pipeline", choices=("device", "host"), default="device")
+    p.add_argument("--workers", type=int, default=None,
+                   help="host loader workers (default: cfg WORKERS)")
     p.add_argument("opts", nargs=argparse.REMAINDER)
     args = p.parse_args()
 
@@ -42,7 +44,9 @@ def main():
     variables = load_weights(cfg, model, args.ckpt)
     dataset = get_dataset(cfg, is_train=False)
     name_value, ap = validate(cfg, dataset, model, variables,
-                              pipeline=args.pipeline)
+                              pipeline=args.pipeline,
+                              num_workers=cfg.WORKERS if args.workers is None
+                              else args.workers)
     for k, v in name_value.items():
         print(f"{k:<8s}: {v:.4f}")
     if args.expected_ap is not None:

@@ -82,7 +82,7 @@ def sweep(name, cfg, gflops, a100_eval, a100_train, batches):
     h, w = cfg.MODEL.IMAGE_SIZE[1], cfg.MODEL.IMAGE_SIZE[0]
     variables = model.init(jax.random.PRNGKey(0),
                            np.zeros((1, h, w, 3), np.float32), train=False)
-    print(f"\n=== {name} ({w}x{h}, {gflops} GFLOPs/fwd) ===")
+    print(f"\n=== {name} ({h}x{w} HxW, {gflops} GFLOPs/fwd) ===")
     print(f"targets (2x A100 est.): eval {2 * a100_eval:.0f} img/s, "
           f"train {2 * a100_train:.0f} img/s")
     for b in batches:

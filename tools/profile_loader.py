@@ -112,13 +112,13 @@ def main():
         r = max(drain(bl), drain(bl))
         print(f"threads workers=1 eval-order: {r:7.1f} samples/s")
         if args.host_crop:
-            hw = tuple(cfg.MODEL.IMAGE_SIZE)
+            wh = tuple(cfg.MODEL.IMAGE_SIZE)          # IMAGE_SIZE is (w, h)
             eds = get_dataset(cfg, root=root, image_set="val",
                               is_train=False)
             bl = BatchLoader(eds, args.batch, shuffle=False, num_workers=1,
                              cropped=True)
             r = max(drain(bl), drain(bl))
-            print(f"host-crop workers=1 eval-order ({hw[0]}x{hw[1]}): "
+            print(f"host-crop workers=1 eval-order ({wh[1]}x{wh[0]} HxW): "
                   f"{r:7.1f} samples/s")
         if args.threads_only:
             return

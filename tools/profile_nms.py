@@ -45,23 +45,37 @@ def make_groups(n_images, m, seed=0):
     return groups
 
 
-def bench_host(groups, thresh=0.9):
+def to_dbs(groups):
+    """The dict-of-instances form ``evaluate()`` actually holds."""
     dbs = []
     for kpts, scores, areas in groups:
         dbs.append([{"keypoints": kpts[i], "score": float(scores[i]),
                      "area": float(areas[i])} for i in range(len(scores))])
+    return dbs
+
+
+def _pack(dbs):
+    """Per-image dict->array packing, as data/coco.py pays before the device
+    call — INSIDE the timed region so the A/B is symmetric (both paths start
+    from the dict form)."""
+    kp = [np.stack([d["keypoints"] for d in db]) for db in dbs]
+    sc = [np.asarray([d["score"] for d in db], np.float32) for db in dbs]
+    ar = [np.asarray([d["area"] for d in db], np.float32) for db in dbs]
+    return kp, sc, ar
+
+
+def bench_host(dbs, thresh=0.9):
     t0 = time.perf_counter()
     keeps = [oks_nms_cpp(db, thresh, SIGMAS) for db in dbs]
     dt = time.perf_counter() - t0
     return dt, keeps
 
 
-def bench_device(groups, thresh=0.9):
-    kp = [g[0] for g in groups]
-    sc = [g[1] for g in groups]
-    ar = [g[2] for g in groups]
+def bench_device(dbs, thresh=0.9):
+    kp, sc, ar = _pack(dbs)
     batched_oks_nms_jax(kp, sc, ar, SIGMAS, thresh)        # compile
     t0 = time.perf_counter()
+    kp, sc, ar = _pack(dbs)
     keeps = batched_oks_nms_jax(kp, sc, ar, SIGMAS, thresh)
     dt = time.perf_counter() - t0
     return dt, keeps
@@ -72,9 +86,9 @@ def main():
     print(f"backend: {jax.default_backend()}  devices: {jax.devices()}")
     assert available(), "C++ NMS library unavailable"
     for m in (4, 8, 20):
-        groups = make_groups(N_IMAGES, m, seed=m)
-        dt_h, keeps_h = bench_host(groups)
-        dt_d, keeps_d = bench_device(groups)
+        dbs = to_dbs(make_groups(N_IMAGES, m, seed=m))
+        dt_h, keeps_h = bench_host(dbs)
+        dt_d, keeps_d = bench_device(dbs)
         agree = all(sorted(a) == sorted(b.tolist())
                     for a, b in zip(keeps_h, keeps_d))
         tot = N_IMAGES * m

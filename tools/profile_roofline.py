@@ -58,8 +58,12 @@ def profile_matmul(n, m, k, dtype=jnp.bfloat16):
 def profile_conv(b, h, w, cin, cout, name, chain=1, dtype=jnp.bfloat16):
     key = jax.random.PRNGKey(2)
     x = jax.random.normal(key, (b, h, w, cin), dtype)
+    # fan-in-scaled kernels keep deep chains variance-stable: unit-variance
+    # N(0,1) kernels multiply the activation stddev by ~sqrt(9*cin) per
+    # layer, overflowing bf16 (and the fp32 digest) around layer ~23
     ks = [jax.random.normal(jax.random.fold_in(key, i + 1),
                             (3, 3, cin if i == 0 else cout, cout), dtype)
+          / float(np.sqrt(9.0 * (cin if i == 0 else cout)))  # weak: keeps dtype
           for i in range(chain)]
 
     @jax.jit
