@@ -12,6 +12,13 @@ protocol, used by every profiler here:
 - for stateful train steps, thread the state device-side and fetch a single
   loss scalar at the END (`timeit_pipelined_step`) — matching how
   core/function.py's lazy metric fetch drives real training.
+
+Deliberate non-DRY: each profile_*.py builds its own synthetic batch (and a
+few re-declare a bare step) with slightly different ranges/shapes. Those
+blocks are the RECORDED WORKLOADS behind specific BENCH_NOTES numbers, so
+they are kept frozen per script rather than consolidated here — sharing
+them would either silently change a historical workload or need per-script
+parameters that reintroduce the duplication.
 """
 from __future__ import annotations
 
