@@ -124,17 +124,60 @@ def _load_head_from_flax(head: TorchRSGHead, params, batch_stats):
             torch.as_tensor(np.asarray(params["delta"]["bias"])))
 
 
-@torch.no_grad()
-def torch_rsgnet_forward(cfg, flax_variables, adjacency, x_nchw):
-    """Full flagship forward on the torch side: torch_hrnet backbone loaded
-    via ``export_state_dict`` + the head mirror loaded from the flax tree.
-    Returns (final, initial) as numpy NCHW."""
+def export_head_grads(tree):
+    """flax rsg_head grad tree -> {torch param name: ndarray}, the exact
+    inverse layout mapping of ``_load_head_from_flax`` (Dense kernel
+    (in, out) -> Linear weight (out, in); Conv HWIO -> OIHW).  Used by the
+    flagship train oracle to compare every head gradient against torch
+    autograd."""
+    def lin(prefix, sub):
+        return {f"{prefix}.weight": np.asarray(sub["kernel"]).T,
+                f"{prefix}.bias": np.asarray(sub["bias"])}
+
+    def conv_w(kernel):
+        return np.transpose(np.asarray(kernel), (3, 2, 0, 1))
+
+    out = {"node_proj.weight": conv_w(tree["node_proj"]["kernel"]),
+           "node_proj.bias": np.asarray(tree["node_proj"]["bias"]),
+           "delta.weight": conv_w(tree["delta"]["kernel"]),
+           "delta.bias": np.asarray(tree["delta"]["bias"])}
+    out.update(lin("rel_fc1", tree["rel_fc1"]))
+    out.update(lin("rel_film", tree["rel_film"]))
+    i = 0
+    while f"gcn{i}" in tree:
+        out.update(lin(f"w_neigh.{i}", tree[f"gcn{i}"]["w_neigh"]))
+        out.update(lin(f"w_self.{i}", tree[f"gcn{i}"]["w_self"]))
+        i += 1
+    i = 0
+    while f"refine{i}" in tree:
+        out[f"refine.{i}.0.weight"] = conv_w(tree[f"refine{i}"]["conv"]["kernel"])
+        out[f"refine.{i}.1.weight"] = np.asarray(tree[f"refine{i}"]["bn"]["scale"])
+        out[f"refine.{i}.1.bias"] = np.asarray(tree[f"refine{i}"]["bn"]["bias"])
+        i += 1
+    return out
+
+
+class TorchPoseRSGNet(nn.Module):
+    """backbone + head composed the way ``models/pose_rsgnet.py`` wires them."""
+
+    def __init__(self, backbone, head):
+        super().__init__()
+        self.backbone = backbone
+        self.head = head
+
+    def forward(self, x):
+        initial, feats = self.backbone(x, return_features=True)
+        return self.head(feats, initial)
+
+
+def build_torch_rsgnet(cfg, flax_variables, adjacency):
+    """Build the full torch flagship mirror and load the flax weights into
+    it (backbone via ``export_state_dict``, head via the transplant map)."""
     from torch_hrnet import PoseHighResolutionNet as TorchBackbone
 
     from rsgnet_tpu.utils.torch_convert import export_state_dict
 
     backbone = TorchBackbone(cfg)
-    backbone.eval()
     sd = export_state_dict(cfg, flax_variables["params"],
                            flax_variables["batch_stats"],
                            nested_under="backbone")
@@ -153,10 +196,16 @@ def torch_rsgnet_forward(cfg, flax_variables, adjacency, x_nchw):
         relation_channels=cfg.MODEL.RSG.RELATION_CHANNELS,
         gcn_layers=cfg.MODEL.RSG.GCN_LAYERS,
         refine_blocks=cfg.MODEL.RSG.REFINE_BLOCKS)
-    head.eval()
     _load_head_from_flax(head, flax_variables["params"]["rsg_head"],
                          flax_variables["batch_stats"]["rsg_head"])
+    return TorchPoseRSGNet(backbone, head)
 
-    initial, feats = backbone(torch.as_tensor(x_nchw), return_features=True)
-    final, initial = head(feats, initial)
+
+@torch.no_grad()
+def torch_rsgnet_forward(cfg, flax_variables, adjacency, x_nchw):
+    """Full flagship eval-mode forward on the torch side.
+    Returns (final, initial) as numpy NCHW."""
+    model = build_torch_rsgnet(cfg, flax_variables, adjacency)
+    model.eval()
+    final, initial = model(torch.as_tensor(x_nchw))
     return final.numpy(), initial.numpy()
