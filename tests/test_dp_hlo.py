@@ -83,8 +83,15 @@ def _compiled_text(fn, in_shardings, *args):
     return jitted.lower(*args).compile().as_text()
 
 
-def test_dp_train_step_collective_structure():
-    cfg = _tiny_cfg()
+import pytest
+
+
+@pytest.mark.parametrize("rsg", [False, True], ids=["hrnet", "rsgnet"])
+def test_dp_train_step_collective_structure(rsg):
+    """Backbone-only AND flagship (relation/skeleton-graph head ON): the
+    head's softmax pooling / FiLM / GCN einsums are all per-sample, so the
+    flagship must add gradient all-reduces but no new collective kinds."""
+    cfg = _tiny_cfg(rsg=rsg)
     model = get_pose_net(cfg)
     mesh = make_mesh()
     assert mesh.size == 8
