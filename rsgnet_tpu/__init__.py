@@ -20,6 +20,7 @@ reference (SURVEY §2)       rsgnet_tpu
 lib/utils/transforms.py     ops/affine.py, ops/flip.py
 lib/dataset/                data/
 lib/models/pose_hrnet.py    models/hrnet.py
+lib/models/pose_resnet.py   models/pose_resnet.py
 RSGNet head (§2.8)          models/rsgnet_head.py
 lib/core/                   core/
 lib/nms/ (native)           ops/nms.py + csrc/oks_nms.cpp

@@ -43,6 +43,15 @@ class ModelExtra:
     STAGE4: StageConfig = field(
         default_factory=lambda: StageConfig(3, 4, (4, 4, 4, 4),
                                             (32, 64, 128, 256)))
+    # pose_resnet (SimpleBaseline) keys — the reference keeps per-model EXTRA
+    # dicts in lib/config/models.py; here one dataclass carries both model
+    # families' keys (each model reads only its own; STAGE* for pose_hrnet,
+    # the NUM_LAYERS/DECONV_* group for pose_resnet)
+    NUM_LAYERS: int = 50
+    NUM_DECONV_LAYERS: int = 3
+    NUM_DECONV_FILTERS: Tuple[int, ...] = (256, 256, 256)
+    NUM_DECONV_KERNELS: Tuple[int, ...] = (4, 4, 4)
+    DECONV_WITH_BIAS: bool = False
 
 
 @dataclass
@@ -362,6 +371,28 @@ def tiny_rsgnet() -> Config:
         STAGE3=StageConfig(1, 3, (1, 1, 1), (8, 16, 32)),
         STAGE4=StageConfig(1, 4, (1, 1, 1, 1), (8, 16, 32, 64)),
     )
+    cfg.DTYPE = "float32"
+    return cfg
+
+
+def res50_256x192() -> Config:
+    """SimpleBaseline ResNet-50 @ 256x192 (reference
+    experiments/coco/resnet/res50_256x192_d256x3_adam_lr1e-3.yaml values)."""
+    cfg = Config()
+    cfg.MODEL.NAME = "pose_resnet"
+    cfg.MODEL.EXTRA.NUM_LAYERS = 50
+    return cfg
+
+
+def tiny_resnet() -> Config:
+    """Miniature pose_resnet for compile-speed-bound smoke tests: ResNet-18
+    stage structure with the standard deconv head shrunk to 16 filters."""
+    cfg = Config()
+    cfg.MODEL.NAME = "pose_resnet"
+    cfg.MODEL.EXTRA.NUM_LAYERS = 18
+    cfg.MODEL.EXTRA.NUM_DECONV_FILTERS = (16, 16, 16)
+    cfg.MODEL.IMAGE_SIZE = (64, 96)
+    cfg.MODEL.HEATMAP_SIZE = (16, 24)
     cfg.DTYPE = "float32"
     return cfg
 

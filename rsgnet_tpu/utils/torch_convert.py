@@ -1,4 +1,4 @@
-"""Torch-checkpoint <-> flax weight conversion for the HRNet backbone.
+"""Torch-checkpoint <-> flax weight conversion (HRNet + pose_resnet).
 
 Required by SURVEY.md §5.4: AP-parity verification against released reference
 checkpoints needs a one-shot torch->JAX converter. The mapping targets the
@@ -119,6 +119,90 @@ def hrnet_key_map(cfg: Config) -> List[Tuple[str, Tuple[str, ...], str]]:
     return out
 
 
+def resnet_key_map(cfg: Config) -> List[Tuple[str, Tuple[str, ...], str]]:
+    """[(torch_name, flax_path, kind)] for every pose_resnet tensor.
+
+    Targets the public SimpleBaseline ``pose_resnet`` state_dict naming
+    (``conv1``/``bn1``, ``layer{l}.{b}``, ``deconv_layers.{3i}`` sequential
+    indices, ``final_layer``); torchvision ImageNet ResNet checkpoints share
+    the backbone names, so pretrained init works through the same map.
+    kind 'deconv' = torch ConvTranspose2d weight (I, O, kH, kW), converted
+    with a spatial flip to the dilated-input conv kernel PoseResNet runs.
+    """
+    from rsgnet_tpu.models.pose_resnet import RESNET_SPEC
+    extra = cfg.MODEL.EXTRA
+    block_name, stage_blocks = RESNET_SPEC[extra.NUM_LAYERS]
+    out: List[Tuple[str, Tuple[str, ...], str]] = []
+
+    def conv(tname, fpath):
+        out.append((f"{tname}.weight", (*fpath, "conv", "kernel"), "conv"))
+
+    def bn(tname, fpath):
+        out.append((f"{tname}.weight", (*fpath, "bn", "scale"), "bn"))
+        out.append((f"{tname}.bias", (*fpath, "bn", "bias"), "bn"))
+        out.append((f"{tname}.running_mean", (*fpath, "bn", "mean"), "bn_stat"))
+        out.append((f"{tname}.running_var", (*fpath, "bn", "var"), "bn_stat"))
+
+    conv("conv1", ("stem",)); bn("bn1", ("stem",))
+
+    cbs = ("cb1", "cb2") if block_name == "BASIC" else ("cb1", "cb2", "cb3")
+    exp = 1 if block_name == "BASIC" else 4
+    in_ch = 64
+    for li, num_blocks in enumerate(stage_blocks, start=1):
+        feats = 64 * (2 ** (li - 1))
+        stride = 1 if li == 1 else 2
+        for b in range(num_blocks):
+            for ci, cb in enumerate(cbs):
+                conv(f"layer{li}.{b}.conv{ci + 1}", (f"layer{li}_{b}", cb))
+                bn(f"layer{li}.{b}.bn{ci + 1}", (f"layer{li}_{b}", cb))
+            # downsample projection exists exactly when the block created one
+            if b == 0 and (stride != 1 or in_ch != feats * exp):
+                conv(f"layer{li}.{b}.downsample.0",
+                     (f"layer{li}_{b}", "downsample"))
+                bn(f"layer{li}.{b}.downsample.1",
+                   (f"layer{li}_{b}", "downsample"))
+            in_ch = feats * exp
+
+    for i in range(extra.NUM_DECONV_LAYERS):
+        # reference deconv head is nn.Sequential(ConvTranspose2d, BN, ReLU)*n
+        base = f"deconv_layers.{3 * i}"
+        out.append((f"{base}.weight", (f"deconv{i}", "conv", "kernel"),
+                    "deconv"))
+        if extra.DECONV_WITH_BIAS:
+            out.append((f"{base}.bias", (f"deconv{i}", "conv", "bias"),
+                        "bias"))
+        bn(f"deconv_layers.{3 * i + 1}", (f"deconv{i}",))
+
+    out.append(("final_layer.weight", ("final_layer", "kernel"), "conv"))
+    out.append(("final_layer.bias", ("final_layer", "bias"), "bias"))
+    return out
+
+
+def key_map(cfg: Config) -> List[Tuple[str, Tuple[str, ...], str]]:
+    """Tensor map for cfg's model family (pose_resnet vs HRNet-backboned)."""
+    if cfg.MODEL.NAME == "pose_resnet":
+        return resnet_key_map(cfg)
+    return hrnet_key_map(cfg)
+
+
+def _to_flax(v: np.ndarray, kind: str) -> np.ndarray:
+    if kind == "conv":
+        return np.transpose(v, (2, 3, 1, 0))            # OIHW -> HWIO
+    if kind == "deconv":
+        # torch ConvTranspose2d weight (I, O, kH, kW) -> spatially-flipped
+        # HWIO kernel of the equivalent dilated-input conv (models/pose_resnet)
+        return np.transpose(v, (2, 3, 0, 1))[::-1, ::-1].copy()
+    return v
+
+
+def _to_torch(v: np.ndarray, kind: str) -> np.ndarray:
+    if kind == "conv":
+        return np.transpose(v, (3, 2, 0, 1))            # HWIO -> OIHW
+    if kind == "deconv":
+        return np.transpose(v[::-1, ::-1], (2, 3, 0, 1)).copy()
+    return v
+
+
 def _set(tree: dict, path, value):
     for p in path[:-1]:
         tree = tree.setdefault(p, {})
@@ -141,13 +225,11 @@ def convert_state_dict(cfg: Config, torch_sd: Dict[str, np.ndarray],
     params: dict = {}
     stats: dict = {}
     consumed = set()
-    for tname, fpath, kind in hrnet_key_map(cfg):
+    for tname, fpath, kind in key_map(cfg):
         if tname not in torch_sd:
             raise KeyError(f"missing tensor in torch checkpoint: {tname}")
-        v = np.asarray(torch_sd[tname])
+        v = _to_flax(np.asarray(torch_sd[tname]), kind)
         consumed.add(tname)
-        if kind == "conv":
-            v = np.transpose(v, (2, 3, 1, 0))           # OIHW -> HWIO
         # bn params split: scale/bias into params, mean/var into batch_stats
         is_stat = fpath[-1] in ("mean", "var")
         _set(stats if is_stat else params, fpath, v)
@@ -170,12 +252,9 @@ def export_state_dict(cfg: Config, params, batch_stats,
         params = params[nested_under]
         batch_stats = batch_stats[nested_under]
     out = {}
-    for tname, fpath, kind in hrnet_key_map(cfg):
+    for tname, fpath, kind in key_map(cfg):
         src = batch_stats if fpath[-1] in ("mean", "var") else params
-        v = np.asarray(_get(src, fpath))
-        if kind == "conv":
-            v = np.transpose(v, (3, 2, 0, 1))           # HWIO -> OIHW
-        out[tname] = v
+        out[tname] = _to_torch(np.asarray(_get(src, fpath)), kind)
     return out
 
 
@@ -196,16 +275,14 @@ def load_pretrained_backbone(cfg: Config, variables, torch_sd,
     variables = {"params": copy.deepcopy(dict(variables["params"])),
                  "batch_stats": copy.deepcopy(dict(variables["batch_stats"]))}
     n_loaded = 0
-    for tname, fpath, kind in hrnet_key_map(cfg):
+    for tname, fpath, kind in key_map(cfg):
         if tname not in torch_sd:
             continue
         root = tname.split(".")[0].rstrip("0123456789") or tname
         if not load_all and tname.split(".")[0] not in allowed \
                 and root not in allowed:
             continue
-        v = np.asarray(torch_sd[tname])
-        if kind == "conv":
-            v = np.transpose(v, (2, 3, 1, 0))
+        v = _to_flax(np.asarray(torch_sd[tname]), kind)
         is_stat = fpath[-1] in ("mean", "var")
         tree = variables["batch_stats" if is_stat else "params"]
         if nest_under:

@@ -36,6 +36,17 @@ def test_w48_values():
     assert cfg.TEST.DECODE == "dark"
 
 
+def test_res50_values():
+    path = [p for p in YAMLS if "res50" in p][0]
+    cfg = load_config(path)
+    assert cfg.MODEL.NAME == "pose_resnet"
+    assert cfg.MODEL.EXTRA.NUM_LAYERS == 50
+    assert tuple(cfg.MODEL.EXTRA.NUM_DECONV_FILTERS) == (256, 256, 256)
+    assert tuple(cfg.MODEL.EXTRA.NUM_DECONV_KERNELS) == (4, 4, 4)
+    assert cfg.MODEL.EXTRA.DECONV_WITH_BIAS is False
+    assert cfg.MODEL.EXTRA.FINAL_CONV_KERNEL == 1
+
+
 def test_unknown_key_rejected(tmp_path):
     bad = tmp_path / "bad.yaml"
     bad.write_text("MODEL:\n  NOT_A_KEY: 1\n")

@@ -107,6 +107,26 @@ def test_validate_end_to_end_runs(fixture_root):
     assert 0.0 <= name_value["AR"] <= 1.0 or name_value["AR"] == -1.0
 
 
+def test_validate_pose_resnet_family(fixture_root):
+    """The SimpleBaseline family drives the SAME end-to-end eval stack
+    (device warp, flip-test, decode, rescoring, OKS-NMS, COCOeval)."""
+    import jax
+    from rsgnet_tpu.config.defaults import tiny_resnet
+    from rsgnet_tpu.core.validate import validate
+    from rsgnet_tpu.models import get_pose_net
+
+    cfg = tiny_resnet()
+    cfg.DATASET.TEST_SET = "val"
+    cfg.MODEL.NUM_JOINTS = 17
+    ds = build(cfg, fixture_root)
+    model = get_pose_net(cfg)
+    h, w = cfg.MODEL.IMAGE_SIZE[1], cfg.MODEL.IMAGE_SIZE[0]
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, h, w, 3), np.float32), train=False)
+    name_value, ap = validate(cfg, ds, model, variables, batch_size=4)
+    assert np.isfinite(ap)
+
+
 def test_validate_host_crop_pipeline(fixture_root):
     """pipeline='host' (reference-style cv2 host crop) returns the same AP
     structure and near-identical predictions to the device-warp pipeline."""

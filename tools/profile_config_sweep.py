@@ -29,6 +29,7 @@ import _init_paths  # noqa: F401
 from _profiling import timeit_pipelined_step
 
 W32_GFLOPS, W48_GFLOPS = 7.1, 32.9
+RES50_GFLOPS = 8.9      # SimpleBaseline ResNet-50 @256x192 (HRNet paper T.4)
 
 
 def e2e_throughput(cfg, model, variables, b, src=640, iters=10):
@@ -109,13 +110,13 @@ def sweep(name, cfg, gflops, a100_eval, a100_train, batches):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--config", choices=["w48", "crowdpose", "all"],
+    ap.add_argument("--config", choices=["w48", "crowdpose", "res50", "all"],
                     default="all")
     ap.add_argument("--batches", type=int, nargs="+", default=None)
     args = ap.parse_args()
 
     from rsgnet_tpu.config.defaults import (crowdpose_rsgnet_w32,
-                                            w48_384x288)
+                                            res50_256x192, w48_384x288)
     print(f"backend: {jax.default_backend()}  devices: {jax.devices()}")
     if args.config in ("w48", "all"):
         cfg = w48_384x288()
@@ -127,6 +128,11 @@ def main():
         cfg = crowdpose_rsgnet_w32()
         sweep("CrowdPose RSG-W32 (config 4)", cfg, W32_GFLOPS, 800.0, 400.0,
               args.batches or [32, 64, 128, 192])
+    if args.config in ("res50", "all"):
+        sweep("SimpleBaseline res50@256x192", res50_256x192(), RES50_GFLOPS,
+              800 * W32_GFLOPS / RES50_GFLOPS,
+              400 * W32_GFLOPS / RES50_GFLOPS,
+              args.batches or [64, 128, 192])
 
 
 if __name__ == "__main__":
