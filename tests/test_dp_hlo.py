@@ -86,12 +86,21 @@ def _compiled_text(fn, in_shardings, *args):
 import pytest
 
 
-@pytest.mark.parametrize("rsg", [False, True], ids=["hrnet", "rsgnet"])
-def test_dp_train_step_collective_structure(rsg):
-    """Backbone-only AND flagship (relation/skeleton-graph head ON): the
-    head's softmax pooling / FiLM / GCN einsums are all per-sample, so the
-    flagship must add gradient all-reduces but no new collective kinds."""
-    cfg = _tiny_cfg(rsg=rsg)
+def _cfg_for(kind):
+    if kind == "resnet":
+        from rsgnet_tpu.config.defaults import tiny_resnet
+        return tiny_resnet()
+    return _tiny_cfg(rsg=(kind == "rsgnet"))
+
+
+@pytest.mark.parametrize("kind", ["hrnet", "rsgnet", "resnet"])
+def test_dp_train_step_collective_structure(kind):
+    """Backbone-only, flagship (relation/skeleton-graph head ON), and the
+    SimpleBaseline family: the head's softmax pooling / FiLM / GCN einsums
+    and the resnet deconvs are all per-sample, so every family must show
+    the same contract — gradient all-reduces only, no new collective
+    kinds."""
+    cfg = _cfg_for(kind)
     model = get_pose_net(cfg)
     mesh = make_mesh()
     assert mesh.size == 8
