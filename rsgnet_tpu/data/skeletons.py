@@ -1,4 +1,4 @@
-"""Dataset keypoint definitions: COCO-17 and CrowdPose-14.
+"""Dataset keypoint definitions: COCO-17, CrowdPose-14 and MPII-16.
 
 Centralizes what the reference scatters across ``lib/dataset/coco.py`` /
 ``crowdpose.py`` and ``lib/nms/nms.py`` (SURVEY.md §2.10, §2.11, §2.14):
@@ -74,7 +74,25 @@ CROWDPOSE = KeypointSpec(
                    1., 1.],
 )
 
-SPECS = {"coco": COCO, "crowdpose": CROWDPOSE}
+# MPII order: r ankle, r knee, r hip, l hip, l knee, l ankle, pelvis,
+# thorax, upper neck, head top, r wrist, r elbow, r shoulder, l shoulder,
+# l elbow, l wrist (reference ``lib/dataset/mpii.py`` [K]).
+# MPII's benchmark metric is PCKh (no OKS), so it defines no per-joint OKS
+# sigmas; a uniform 0.079 keeps sigma-consuming API paths (device OKS-NMS)
+# usable if ever pointed at MPII instances. Eval never reads them.
+MPII = KeypointSpec(
+    name="mpii",
+    num_joints=16,
+    flip_pairs=[(0, 5), (1, 4), (2, 3), (10, 15), (11, 14), (12, 13)],
+    sigmas=[.079] * 16,
+    skeleton=[(0, 1), (1, 2), (2, 6), (6, 3), (3, 4), (4, 5), (6, 7),
+              (7, 8), (8, 9), (7, 12), (12, 11), (11, 10), (7, 13),
+              (13, 14), (14, 15)],
+    upper_body_ids=(7, 8, 9, 10, 11, 12, 13, 14, 15),
+    joints_weight=[1.] * 16,
+)
+
+SPECS = {"coco": COCO, "crowdpose": CROWDPOSE, "mpii": MPII}
 
 
 def get_spec(name: str) -> KeypointSpec:

@@ -14,10 +14,14 @@ TPU-first choices (same rules as ``models/hrnet.py``):
 
 - NHWC layout; params fp32, compute dtype configurable (bf16 hits the MXU).
 - The transposed conv is expressed as ``nn.Conv`` with ``input_dilation=2``
-  and explicit padding ``(k-1-p, k-1-p+op)`` — numerically identical to
-  torch ``ConvTranspose2d(k, stride=2, padding=p, output_padding=op)`` with a
-  spatially-flipped kernel (verified to float ulp for every kernel size the
-  reference supports: 4/3/2). XLA lowers this to the same fused
+  and explicit padding ``(k-1-p, k-1-p+op)`` — the construction is
+  mathematically the same operator as torch
+  ``ConvTranspose2d(k, stride=2, padding=p, output_padding=op)`` with a
+  spatially-flipped kernel. Test backing: bitwise equality vs
+  ``lax.conv_transpose`` within JAX for every kernel size the reference
+  supports (4/3/2, ``tests/test_torch_resnet_oracle.py::
+  test_deconv_construction_bitwise_vs_lax_conv_transpose``) and <=1e-4 fp32
+  cross-framework parity vs torch. XLA lowers this to the same fused
   conv-with-lhs-dilation it would emit for ``conv_transpose``, so there is no
   perf cliff, and the layout stays a plain HWIO conv kernel the converter can
   round-trip (``utils/torch_convert.resnet_key_map``).
@@ -85,7 +89,7 @@ class PoseResNet(nn.Module):
         return jnp.bfloat16 if self.cfg.DTYPE == "bfloat16" else jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False, return_features: bool = False):
+    def __call__(self, x, train: bool = False):
         cfg = self.cfg
         extra = cfg.MODEL.EXTRA
         block_name, stage_blocks = RESNET_SPEC[extra.NUM_LAYERS]
@@ -100,10 +104,10 @@ class PoseResNet(nn.Module):
         # blocks create their own 1x1 downsample projection when the stride
         # or channel count changes (same condition as torch _make_layer)
         for li, num_blocks in enumerate(stage_blocks, start=1):
-            feats = 64 * (2 ** (li - 1))
+            width = 64 * (2 ** (li - 1))
             stride = 1 if li == 1 else 2
             for b in range(num_blocks):
-                x = blk(feats, stride=stride if b == 0 else 1,
+                x = blk(width, stride=stride if b == 0 else 1,
                         dtype=self.dtype, name=f"layer{li}_{b}")(x, train)
 
         # deconv head: 1/32 -> 1/4 with three 2x transposed convs by default
@@ -119,6 +123,4 @@ class PoseResNet(nn.Module):
         heatmaps = nn.Conv(cfg.MODEL.NUM_JOINTS, (k, k),
                            padding=[(pad, pad), (pad, pad)],
                            dtype=jnp.float32, name="final_layer")(feats)
-        if return_features:
-            return heatmaps, feats
         return heatmaps

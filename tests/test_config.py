@@ -36,15 +36,27 @@ def test_w48_values():
     assert cfg.TEST.DECODE == "dark"
 
 
-def test_res50_values():
-    path = [p for p in YAMLS if "res50" in p][0]
-    cfg = load_config(path)
+@pytest.mark.parametrize("depth", [50, 101, 152])
+@pytest.mark.parametrize("res", ["256x192", "384x288"])
+def test_resnet_family_values(depth, res):
+    """All six reference SimpleBaseline YAMLs (res50/101/152 at both
+    resolutions) exist and carry the reference values."""
+    path = [p for p in YAMLS if f"res{depth}_{res}" in p]
+    assert len(path) == 1, f"missing resnet YAML res{depth}_{res}"
+    cfg = load_config(path[0])
     assert cfg.MODEL.NAME == "pose_resnet"
-    assert cfg.MODEL.EXTRA.NUM_LAYERS == 50
+    assert cfg.MODEL.EXTRA.NUM_LAYERS == depth
     assert tuple(cfg.MODEL.EXTRA.NUM_DECONV_FILTERS) == (256, 256, 256)
     assert tuple(cfg.MODEL.EXTRA.NUM_DECONV_KERNELS) == (4, 4, 4)
     assert cfg.MODEL.EXTRA.DECONV_WITH_BIAS is False
     assert cfg.MODEL.EXTRA.FINAL_CONV_KERNEL == 1
+    if res == "384x288":
+        assert tuple(cfg.MODEL.IMAGE_SIZE) == (288, 384)
+        assert tuple(cfg.MODEL.HEATMAP_SIZE) == (72, 96)
+        assert cfg.MODEL.SIGMA == 3
+    else:
+        assert tuple(cfg.MODEL.IMAGE_SIZE) == (192, 256)
+        assert cfg.MODEL.SIGMA == 2
 
 
 def test_unknown_key_rejected(tmp_path):

@@ -144,6 +144,36 @@ def test_torch_import_direction_matches_oracle():
     assert err <= 1e-4 * max(np.abs(theirs).max(), 1.0), f"max abs err {err}"
 
 
+@pytest.mark.parametrize("k", [4, 3, 2])
+def test_deconv_construction_bitwise_vs_lax_conv_transpose(k):
+    """The dilated-input conv used by DeconvBN is the SAME operator JAX's
+    own ``lax.conv_transpose`` computes — bitwise, same backend — for every
+    (kernel, padding, output_padding) triple in the reference's
+    _get_deconv_cfg table.  This pins the construction itself; the <=1e-4
+    torch tests above pin the cross-framework numerics."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    from rsgnet_tpu.models.pose_resnet import DECONV_CFG
+
+    p, op = DECONV_CFG[k]
+    rng = np.random.RandomState(k)
+    x = jnp.asarray(rng.randn(2, 5, 7, 3), jnp.float32)      # NHWC
+    w = jnp.asarray(rng.randn(k, k, 3, 4), jnp.float32)      # HWIO
+    dn = lax.conv_dimension_numbers(x.shape, w.shape,
+                                    ("NHWC", "HWIO", "NHWC"))
+    pad = [(k - 1 - p, k - 1 - p + op)] * 2
+    ours = lax.conv_general_dilated(x, w, window_strides=(1, 1), padding=pad,
+                                    lhs_dilation=(2, 2),
+                                    dimension_numbers=dn)
+    ref = lax.conv_transpose(x, w, strides=(2, 2), padding=pad,
+                             dimension_numbers=dn)
+    # torch output-size law: (H-1)*s - 2p + k + op
+    want_h = (x.shape[1] - 1) * 2 - 2 * p + k + op
+    assert ours.shape[1] == want_h
+    np.testing.assert_array_equal(np.asarray(ours), np.asarray(ref))
+
+
 def test_oracle_is_sensitive_to_the_deconv_mapping():
     """Mutation check: corrupting ONE deconv tensor in the exported
     state_dict must change the torch forward — guards against the parity
