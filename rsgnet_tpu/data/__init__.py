@@ -6,7 +6,9 @@ from __future__ import annotations
 def get_dataset(cfg, root=None, image_set=None, is_train=False, **kw):
     from rsgnet_tpu.data.coco import COCODataset
     from rsgnet_tpu.data.crowdpose import CrowdPoseDataset
-    table = {"coco": COCODataset, "crowdpose": CrowdPoseDataset}
+    from rsgnet_tpu.data.mpii import MPIIDataset
+    table = {"coco": COCODataset, "crowdpose": CrowdPoseDataset,
+             "mpii": MPIIDataset}
     cls = table[cfg.DATASET.DATASET.lower()]
     root = root if root is not None else cfg.DATASET.ROOT
     if image_set is None:

@@ -85,6 +85,33 @@ def test_test_cli(fixture_root, tmp_path):
     assert "AP" in r.stdout + r.stderr
 
 
+def test_test_cli_mpii(tmp_path):
+    """tools/test.py on the MPII family: single-person eval path (no NMS,
+    PCKh table) through the real CLI."""
+    from tests.fixtures.synthetic_mpii import make_entries, write_fixture
+    root = tmp_path / "mpii"
+    write_fixture(str(root), make_entries())
+    cfg = write_tiny_yaml(tmp_path / "tiny_mpii.yaml", str(root), extra={
+        "DATASET": {"DATASET": "mpii", "ROOT": str(root),
+                    "TEST_SET": "valid", "TRAIN_SET": "train",
+                    "SCALE_FACTOR": 0.25, "ROT_FACTOR": 30,
+                    "PROB_HALF_BODY": -1.0},
+    })
+    # write_tiny_yaml's MODEL block is COCO-shaped; override joints
+    with open(tmp_path / "tiny_mpii.yaml") as f:
+        d = yaml.safe_load(f)
+    d["MODEL"]["NUM_JOINTS"] = 16
+    with open(tmp_path / "tiny_mpii.yaml", "w") as f:
+        yaml.safe_dump(d, f)
+    r = run_tool(["tools/test.py", "--cfg", str(tmp_path / "tiny_mpii.yaml"),
+                  "--workers", "2",
+                  "OUTPUT_DIR", str(tmp_path / "out"),
+                  "LOG_DIR", str(tmp_path / "log")])
+    assert r.returncode == 0, r.stderr[-2000:]
+    combined = r.stdout + r.stderr
+    assert "Mean" in combined
+
+
 def test_train_cli_smoke(fixture_root, tmp_path):
     cfg = write_tiny_yaml(tmp_path / "tiny.yaml", fixture_root)
     r = run_tool(["tools/train.py", "--cfg", cfg, "--workers", "2",

@@ -20,11 +20,28 @@ def test_yamls_exist():
                                              for p in YAMLS])
 def test_yaml_loads(path):
     cfg = load_config(path)
-    assert cfg.MODEL.NUM_JOINTS in (14, 17)
+    assert cfg.MODEL.NUM_JOINTS in (14, 16, 17)    # crowdpose/mpii/coco
     assert cfg.MODEL.IMAGE_SIZE[0] % 32 == 0
     assert cfg.MODEL.HEATMAP_SIZE[0] * 4 == cfg.MODEL.IMAGE_SIZE[0]
     assert cfg.MODEL.EXTRA.STAGE4.NUM_BRANCHES == 4
     assert tuple(cfg.TRAIN.LR_STEP) == (170, 200)
+
+
+def test_mpii_values():
+    """MPII family YAMLs carry the reference MPII augmentation set and the
+    square 256x256 input."""
+    paths = [p for p in YAMLS if os.sep + "mpii" + os.sep in p]
+    assert len(paths) == 2                          # hrnet w32 + resnet res50
+    for p in paths:
+        cfg = load_config(p)
+        assert cfg.DATASET.DATASET == "mpii"
+        assert cfg.MODEL.NUM_JOINTS == 16
+        assert tuple(cfg.MODEL.IMAGE_SIZE) == (256, 256)
+        assert tuple(cfg.MODEL.HEATMAP_SIZE) == (64, 64)
+        assert cfg.DATASET.SCALE_FACTOR == 0.25
+        assert cfg.DATASET.ROT_FACTOR == 30
+        assert cfg.DATASET.PROB_HALF_BODY == -1.0
+        assert cfg.DATASET.TEST_SET == "valid"
 
 
 def test_w48_values():
