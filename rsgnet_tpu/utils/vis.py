@@ -67,6 +67,51 @@ def save_batch_heatmaps(inputs, heatmaps, path, max_images=8):
     Image.fromarray(grid).save(path)
 
 
+def draw_skeleton(image, preds, maxvals, spec, thresh=0.3, radius=3):
+    """Overlay predicted poses on an original-resolution image.
+
+    The reference family ships a demo that renders detector-box predictions
+    back onto the source frame (SURVEY.md §2.20 / demo path); this is the
+    rebuild's equivalent, PIL-based (no OpenCV in env).
+
+    image: (H, W, 3) uint8 RGB.  preds: (N, K, 2) image-space keypoints.
+    maxvals: (N, K) or (N, K, 1) heatmap peak scores.  spec: KeypointSpec
+    (skeleton edges + joint count).  Joints/bones below ``thresh`` are
+    skipped. Returns a new (H, W, 3) uint8 array.
+    """
+    from PIL import Image, ImageDraw
+    img = Image.fromarray(np.asarray(image, np.uint8))
+    draw = ImageDraw.Draw(img)
+    preds = np.asarray(preds, np.float32).reshape(-1, spec.num_joints, 2)
+    scores = np.asarray(maxvals, np.float32).reshape(len(preds),
+                                                     spec.num_joints)
+    # per-limb palette cycles; joints drawn last so they sit on top
+    palette = [(255, 85, 0), (255, 170, 0), (255, 255, 0), (170, 255, 0),
+               (85, 255, 0), (0, 255, 85), (0, 255, 170), (0, 170, 255),
+               (0, 85, 255), (85, 0, 255), (170, 0, 255), (255, 0, 170)]
+    for inst, (kp, sc) in enumerate(zip(preds, scores)):
+        for e, (a, b) in enumerate(spec.skeleton):
+            if sc[a] < thresh or sc[b] < thresh:
+                continue
+            col = palette[(inst * 3 + e) % len(palette)]
+            draw.line([tuple(kp[a]), tuple(kp[b])], fill=col, width=2)
+        for j in range(spec.num_joints):
+            if sc[j] < thresh:
+                continue
+            x, y = float(kp[j, 0]), float(kp[j, 1])
+            draw.ellipse([x - radius, y - radius, x + radius, y + radius],
+                         fill=(0, 255, 0), outline=(0, 96, 0))
+    return np.asarray(img)
+
+
+def save_prediction_image(image, preds, maxvals, spec, path, thresh=0.3):
+    """draw_skeleton + save; creates parent dirs like the other savers."""
+    from PIL import Image
+    arr = draw_skeleton(image, preds, maxvals, spec, thresh=thresh)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    Image.fromarray(arr).save(path)
+
+
 def save_debug_images(cfg, inputs, joints, joints_vis, target, output,
                       prefix):
     """The reference debug dump, gated by DEBUG.* flags. ``joints`` are

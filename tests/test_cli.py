@@ -68,12 +68,20 @@ def fixture_root(tmp_path_factory):
     return str(root)
 
 
-def test_infer_demo():
-    r = run_tool(["tools/infer.py", "--demo", "--tiny"])
+def test_infer_demo(tmp_path):
+    overlay = tmp_path / "overlay.png"
+    r = run_tool(["tools/infer.py", "--demo", "--tiny",
+                  "--out", str(overlay), "--thresh", "-1"])
     assert r.returncode == 0, r.stderr[-2000:]
     out = json.loads(r.stdout[r.stdout.index("["):])
-    assert len(out) == 17
-    assert all("x" in j and "score" in j for j in out)
+    assert len(out) == 2                      # demo runs two person boxes
+    for inst in out:
+        assert len(inst["keypoints"]) == 17
+        assert all("x" in j and "score" in j for j in inst["keypoints"])
+    # skeleton overlay rendered at source resolution
+    from PIL import Image
+    img = Image.open(overlay)
+    assert img.size == (640, 480)
 
 
 def test_test_cli(fixture_root, tmp_path):
