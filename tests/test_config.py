@@ -31,7 +31,8 @@ def test_mpii_values():
     """MPII family YAMLs carry the reference MPII augmentation set and the
     square 256x256 input."""
     paths = [p for p in YAMLS if os.sep + "mpii" + os.sep in p]
-    assert len(paths) == 2                          # hrnet w32 + resnet res50
+    # hrnet w32/w48 + resnet res50/101/152 — the reference mpii grid
+    assert len(paths) == 5
     for p in paths:
         cfg = load_config(p)
         assert cfg.DATASET.DATASET == "mpii"
@@ -45,12 +46,32 @@ def test_mpii_values():
 
 
 def test_w48_values():
-    path = [p for p in YAMLS if "w48" in p and "hrnet" in p][0]
+    path = [p for p in YAMLS if "w48_384x288" in p and "hrnet" in p][0]
     cfg = load_config(path)
     assert cfg.MODEL.SIGMA == 3
     assert tuple(cfg.MODEL.IMAGE_SIZE) == (288, 384)
     assert tuple(cfg.MODEL.EXTRA.STAGE2.NUM_CHANNELS) == (48, 96)
     assert cfg.TEST.DECODE == "dark"
+
+
+@pytest.mark.parametrize("width,res,sigma", [
+    (32, "256x192", 2), (32, "384x288", 3),
+    (48, "256x192", 2), (48, "384x288", 3),
+])
+def test_coco_hrnet_grid(width, res, sigma):
+    """All four reference COCO HRNet YAMLs (W32/W48 at both resolutions)
+    exist and carry the width's channel ladder + the resolution's sigma."""
+    path = [p for p in YAMLS if f"w{width}_{res}" in p and "hrnet" in p
+            and os.sep + "coco" + os.sep in p]
+    assert len(path) == 1, f"missing coco hrnet YAML w{width}_{res}"
+    cfg = load_config(path[0])
+    assert cfg.MODEL.NAME == "pose_hrnet"
+    assert cfg.MODEL.SIGMA == sigma
+    assert tuple(cfg.MODEL.EXTRA.STAGE2.NUM_CHANNELS) == (width, width * 2)
+    assert tuple(cfg.MODEL.EXTRA.STAGE4.NUM_CHANNELS) == (
+        width, width * 2, width * 4, width * 8)
+    w, h = (192, 256) if res == "256x192" else (288, 384)
+    assert tuple(cfg.MODEL.IMAGE_SIZE) == (w, h)
 
 
 @pytest.mark.parametrize("depth", [50, 101, 152])
