@@ -89,10 +89,12 @@ def test_export_e2e_pipeline():
     imgs = jnp.asarray(rng.randint(0, 256, (3, 96, 96, 3)).astype(np.uint8))
     centers = jnp.asarray(rng.uniform(30, 66, (3, 2)).astype(np.float32))
     scales = jnp.asarray(rng.uniform(0.2, 0.4, (3, 2)).astype(np.float32))
-    p1, m1 = served(imgs, centers, scales)
     direct = make_e2e_fn(cfg, model, src)
-    p0, m0 = direct(variables, imgs, centers, scales)
-    np.testing.assert_allclose(np.asarray(p1), np.asarray(p0),
-                               rtol=1e-5, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(m1), np.asarray(m0),
-                               rtol=1e-5, atol=1e-5)
+    # symbolic batch: the one artifact serves multiple batch sizes
+    for n in (1, 3):
+        p1, m1 = served(imgs[:n], centers[:n], scales[:n])
+        p0, m0 = direct(variables, imgs[:n], centers[:n], scales[:n])
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p0),
+                                   rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(m1), np.asarray(m0),
+                                   rtol=1e-5, atol=1e-5)
