@@ -51,7 +51,9 @@ DISTINCT = 8
 ITERS = 30
 
 
-def bench_e2e(cfg, model, variables):
+def bench_e2e(cfg, model, variables,
+              metric="coco_val_e2e_eval_images_per_sec_per_chip",
+              b=128):
     """True end-to-end eval throughput: 640^2 uint8 sources, fused device
     warp -> forward -> flip-test -> decode. Small (coords) outputs, so
     materializing them is an honest fence.
@@ -61,7 +63,7 @@ def bench_e2e(cfg, model, variables):
     measured round 2)."""
     from rsgnet_tpu.core.inference import make_e2e_fn
 
-    b, src, iters = 128, 640, 12
+    src, iters = 640, 12
     rng = np.random.RandomState(1)
     imgs = [jnp.asarray(rng.randint(0, 255, (b, src, src, 3), np.uint8))
             for _ in range(4)]
@@ -80,11 +82,32 @@ def bench_e2e(cfg, model, variables):
     assert all(np.isfinite(p).all() for p, _ in sink)
     ips = b * iters / dt
     print(json.dumps({
-        "metric": "coco_val_e2e_eval_images_per_sec_per_chip",
+        "metric": metric,
         "value": round(ips, 2),
         "unit": "images/sec/chip (640^2 src device-warp + flip-test + decode)",
         "vs_baseline": round(ips / A100_REF_IMAGES_PER_SEC, 3),
     }))
+
+
+def bench_res50(variables_rng=0):
+    """Second model family (SimpleBaseline res50 @ 256x192) on the same
+    e2e protocol — the repo's highest-MXU-utilization model (57 eff
+    TFLOP/s, BENCH_NOTES round 3). B=192 is its sweep optimum.
+
+    vs_baseline uses the SAME 800 img/s A100 denominator as the W32 lines:
+    res50@256x192 is the reference family's lighter/faster member (~5.4 vs
+    ~7.1 GFLOP/fwd), so a single fixed eval denominator keeps the series
+    comparable rather than inventing a per-model estimate."""
+    from rsgnet_tpu.config.defaults import res50_256x192
+    from rsgnet_tpu.models import get_pose_net
+
+    cfg = res50_256x192()
+    model = get_pose_net(cfg)
+    h, w = cfg.MODEL.IMAGE_SIZE[1], cfg.MODEL.IMAGE_SIZE[0]
+    variables = model.init(jax.random.PRNGKey(variables_rng),
+                           np.zeros((1, h, w, 3), np.float32), train=False)
+    bench_e2e(cfg, model, variables,
+              metric="res50_e2e_eval_images_per_sec_per_chip", b=192)
 
 
 def bench_e2e_full(cfg, model, variables):
@@ -235,6 +258,12 @@ def main():
         bench_e2e_full(cfg, model, variables)
     except Exception as e:
         print(json.dumps({"metric": "coco_val_e2e_full_images_per_sec_per_chip",
+                          "value": None, "unit": f"skipped: {e!r}",
+                          "vs_baseline": None}))
+    try:
+        bench_res50()
+    except Exception as e:
+        print(json.dumps({"metric": "res50_e2e_eval_images_per_sec_per_chip",
                           "value": None, "unit": f"skipped: {e!r}",
                           "vs_baseline": None}))
     infer = make_inference_fn(cfg, model)

@@ -30,6 +30,8 @@ from _profiling import timeit_pipelined_step
 
 W32_GFLOPS, W48_GFLOPS = 7.1, 32.9
 RES50_GFLOPS = 8.9      # SimpleBaseline ResNet-50 @256x192 (HRNet paper T.4)
+W32_384_GFLOPS = 16.0   # HRNet-W32 @384x288 (HRNet paper Table 5)
+W48_256_GFLOPS = 14.6   # HRNet-W48 @256x192 (HRNet paper Table 4)
 
 
 def e2e_throughput(cfg, model, variables, b, src=640, iters=10):
@@ -110,7 +112,9 @@ def sweep(name, cfg, gflops, a100_eval, a100_train, batches):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--config", choices=["w48", "crowdpose", "res50", "all"],
+    ap.add_argument("--config",
+                    choices=["w48", "crowdpose", "res50", "w32_384",
+                             "w48_256", "all"],
                     default="all")
     ap.add_argument("--batches", type=int, nargs="+", default=None)
     args = ap.parse_args()
@@ -133,6 +137,25 @@ def main():
               800 * W32_GFLOPS / RES50_GFLOPS,
               400 * W32_GFLOPS / RES50_GFLOPS,
               args.batches or [64, 128, 192])
+    # the round-3 YAML-grid completions (no defaults.py constructor — load
+    # the experiment files the reference user would)
+    import os
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    from rsgnet_tpu.config.defaults import load_config
+    if args.config in ("w32_384",):
+        cfg = load_config(os.path.join(
+            root, "experiments/coco/hrnet/w32_384x288_adam_lr1e-3.yaml"))
+        sweep("HRNet-W32@384x288", cfg, W32_384_GFLOPS,
+              800 * W32_GFLOPS / W32_384_GFLOPS,
+              400 * W32_GFLOPS / W32_384_GFLOPS,
+              args.batches or [64, 128])
+    if args.config in ("w48_256",):
+        cfg = load_config(os.path.join(
+            root, "experiments/coco/hrnet/w48_256x192_adam_lr1e-3.yaml"))
+        sweep("HRNet-W48@256x192", cfg, W48_256_GFLOPS,
+              800 * W32_GFLOPS / W48_256_GFLOPS,
+              400 * W32_GFLOPS / W48_256_GFLOPS,
+              args.batches or [64, 128])
 
 
 if __name__ == "__main__":
