@@ -91,12 +91,30 @@ def fit(cfg: Config, model, train_dataset, val_dataset=None,
         output_dir: str = "output", logger=None, num_workers: int = 8,
         mesh=None, max_epochs=None, eval_every: int = 1,
         init_state=None, tb_dir=None):
-    """Full training run. Returns (state, best_perf)."""
+    """Full training run. Returns (state, best_perf).
+
+    Multi-process (multi-host DP): when ``jax.process_count() > 1`` (the
+    launcher called ``initialize_distributed``), the mesh spans every
+    process's devices, each process's loader collates only its slice of the
+    bit-identical global batch (``BatchLoader(process_shard=...)``), the
+    gradient all-reduce rides ICI within a slice and DCN across, validation
+    shards per host and gathers results, and process 0 alone writes
+    checkpoints/TB/debug files (a shared filesystem is assumed for resume,
+    as usual for multi-host training).
+    """
     spec = get_spec(cfg.DATASET.DATASET)
+    pid, nproc = jax.process_index(), jax.process_count()
+    is_main = pid == 0
+    if not is_main:
+        tb_dir = None                 # process 0 owns all file outputs
     mesh = mesh or make_mesh(axis_name=cfg.MESH_DATA_AXIS)
     n_dev = mesh.size
     batch_size = cfg.TRAIN.BATCH_SIZE_PER_GPU * n_dev
     if cfg.TRAIN.LOADER == "grain":
+        if nproc > 1:
+            raise NotImplementedError(
+                "TRAIN.LOADER=grain has no multi-process sharding; use the "
+                "threaded loader for multi-host runs")
         from rsgnet_tpu.data.grain_pipeline import GrainBatchLoader
         loader = GrainBatchLoader(train_dataset, batch_size,
                                   shuffle=cfg.TRAIN.SHUFFLE,
@@ -104,7 +122,14 @@ def fit(cfg: Config, model, train_dataset, val_dataset=None,
     else:
         loader = BatchLoader(train_dataset, batch_size,
                              shuffle=cfg.TRAIN.SHUFFLE, drop_last=True,
-                             num_workers=num_workers, pad_last=False)
+                             num_workers=num_workers, pad_last=False,
+                             process_shard=(pid, nproc) if nproc > 1
+                             else None)
+    if len(loader) == 0 and logger:
+        logger.warning(
+            "dataset (%d instances) is smaller than one global batch (%d, "
+            "drop_last) — epochs will run ZERO training steps",
+            len(train_dataset), batch_size)
     steps_per_epoch = max(1, len(loader))
 
     state = init_state or create_train_state(
@@ -165,8 +190,13 @@ def fit(cfg: Config, model, train_dataset, val_dataset=None,
     val_infer = None
     if val_dataset is not None:
         from rsgnet_tpu.core.validate import make_validate_infer_fn
+        # multi-process: eval runs per-host on LOCAL devices (zero
+        # collectives in the eval forward), results gathered afterwards —
+        # so the infer fn compiles against the local mesh
+        val_mesh = mesh if nproc == 1 else make_mesh(
+            devices=jax.local_devices(), axis_name=cfg.MESH_DATA_AXIS)
         val_infer = make_validate_infer_fn(cfg, model, val_dataset,
-                                           mesh=mesh)
+                                           mesh=val_mesh)
     end_epoch = min(cfg.TRAIN.END_EPOCH, max_epochs or cfg.TRAIN.END_EPOCH)
     # Per-epoch streams are pure functions of the epoch NUMBER (fold_in), not
     # of a running split chain, and the loader's shuffle order is pinned to
@@ -180,22 +210,37 @@ def fit(cfg: Config, model, train_dataset, val_dataset=None,
             loader.set_epoch(epoch)
         state, loss = train_one_epoch(step_fn, state, loader, erng, epoch,
                                       shard, logger, cfg.PRINT_FREQ,
-                                      cfg=cfg, debug_dir=output_dir)
+                                      cfg=cfg,
+                                      # debug tensors are batch-sharded
+                                      # across processes — fetchable only
+                                      # single-process
+                                      debug_dir=output_dir if nproc == 1
+                                      else None)
         perf = 0.0
         validated = (val_dataset is not None
                      and (epoch + 1) % eval_every == 0)
         if validated:
             variables = {"params": state.params,
                          "batch_stats": state.batch_stats}
-            _, perf = validate(cfg, val_dataset, model, variables,
-                               output_dir=output_dir, logger=logger,
-                               num_workers=num_workers, mesh=mesh,
-                               infer_fn=val_infer)
+            if nproc == 1:
+                _, perf = validate(cfg, val_dataset, model, variables,
+                                   output_dir=output_dir, logger=logger,
+                                   num_workers=num_workers, mesh=mesh,
+                                   infer_fn=val_infer)
+            else:
+                # every process computes the identical AP (results gathered
+                # host-side), so best_perf / is_best stay consistent
+                from rsgnet_tpu.core.validate import validate_distributed
+                _, perf = validate_distributed(
+                    cfg, val_dataset, model, variables,
+                    output_dir=output_dir, logger=logger,
+                    num_workers=num_workers, infer_fn=val_infer)
         # best is only meaningful on epochs that actually evaluated
         is_best = validated and perf >= best_perf
         best_perf = max(best_perf, perf)
-        save_checkpoint(output_dir, state, epoch, perf, is_best,
-                        best_perf=best_perf)
+        if is_main:
+            save_checkpoint(output_dir, state, epoch, perf, is_best,
+                            best_perf=best_perf)
         if writer:
             writer.write_scalars(epoch, {"train_loss": loss,
                                          "valid_AP": perf,

@@ -41,23 +41,16 @@ def make_validate_infer_fn(cfg: Config, model, dataset, mesh=None,
     return make_e2e_fn(cfg, model, dataset.src_size, mesh=mesh), "image"
 
 
-def validate(cfg: Config, dataset, model, variables,
-             batch_size: int | None = None, output_dir: str | None = None,
-             num_workers: int = 8, logger=None, mesh=None,
-             pipeline: str = "device", infer_fn=None):
-    """Returns (name_value OrderedDict, AP). Mirrors reference validate().
-
-    With ``mesh`` (a 1-D data mesh) the batch is sharded over the chips and
-    params replicated — data-parallel eval, the reference DataParallel
-    validate analogue. Batch size scales per chip.
-
-    pipeline:
-      "device" — ship padded uint8 canvases; crop/warp fused on device (the
-        BASELINE design; best when host<->device bandwidth is PCIe-class).
-      "host"   — reference-style cv2 crop on host threads, ship only the
-        model-input-sized uint8 crops (8x less transfer; best on
-        bandwidth-constrained links — see BENCH_NOTES.md).
-    """
+def collect_predictions(cfg: Config, dataset, model, variables,
+                        batch_size: int | None = None, num_workers: int = 8,
+                        logger=None, mesh=None, pipeline: str = "device",
+                        infer_fn=None):
+    """The device half of ``validate``: run the jitted eval path over the
+    whole dataset and return host arrays
+    ``(all_preds (N,K,3), all_boxes (N,6), image_ids (N,))`` in db order —
+    everything ``dataset.evaluate`` needs. Split out so multi-host eval can
+    collect per-process shards and gather before evaluating
+    (``validate_distributed``)."""
     n_dev = mesh.size if mesh is not None else 1
     batch_size = (batch_size or cfg.TEST.BATCH_SIZE_PER_GPU) * n_dev
     host_crop = pipeline == "host"
@@ -84,7 +77,18 @@ def validate(cfg: Config, dataset, model, variables,
                                                   pipeline=pipeline)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
-        variables = jax.device_put(variables, NamedSharding(mesh, P()))
+
+        def to_mesh(x):
+            # multi-host fit passes params living on the GLOBAL train mesh
+            # while eval runs on the LOCAL mesh — device_put between the two
+            # is a "cross-host transfer" jax refuses, but replicated arrays
+            # are fully materializable on every host, so hop through numpy
+            if (hasattr(x, "sharding")
+                    and not x.sharding.device_set <= set(mesh.devices.flat)):
+                x = jax.device_get(x)
+            return jax.device_put(x, NamedSharding(mesh, P()))
+
+        variables = jax.tree_util.tree_map(to_mesh, variables)
 
     n = len(dataset)
     k = dataset.num_joints
@@ -144,8 +148,71 @@ def validate(cfg: Config, dataset, model, variables,
         logger.info("validate: %d instances in %.1fs (%.1f img/s)",
                     seen, dt, seen / max(dt, 1e-9))
     assert seen == n, (seen, n)
+    return all_preds, all_boxes, image_ids
+
+
+def validate(cfg: Config, dataset, model, variables,
+             batch_size: int | None = None, output_dir: str | None = None,
+             num_workers: int = 8, logger=None, mesh=None,
+             pipeline: str = "device", infer_fn=None):
+    """Returns (name_value OrderedDict, AP). Mirrors reference validate().
+
+    With ``mesh`` (a 1-D data mesh) the batch is sharded over the chips and
+    params replicated — data-parallel eval, the reference DataParallel
+    validate analogue. Batch size scales per chip.
+
+    pipeline:
+      "device" — ship padded uint8 canvases; crop/warp fused on device (the
+        BASELINE design; best when host<->device bandwidth is PCIe-class).
+      "host"   — reference-style cv2 crop on host threads, ship only the
+        model-input-sized uint8 crops (8x less transfer; best on
+        bandwidth-constrained links — see BENCH_NOTES.md).
+    """
+    all_preds, all_boxes, image_ids = collect_predictions(
+        cfg, dataset, model, variables, batch_size=batch_size,
+        num_workers=num_workers, logger=logger, mesh=mesh,
+        pipeline=pipeline, infer_fn=infer_fn)
     name_value, ap = dataset.evaluate(all_preds, all_boxes, image_ids,
                                       output_dir=output_dir)
+    if logger:
+        logger.info("| %s |", " | ".join(f"{kk}: {v:.4f}"
+                                         for kk, v in name_value.items()))
+    return name_value, ap
+
+
+def validate_distributed(cfg: Config, dataset, model, variables,
+                         batch_size: int | None = None,
+                         output_dir: str | None = None, num_workers: int = 8,
+                         logger=None, pipeline: str = "device",
+                         infer_fn=None):
+    """Multi-host eval: each process runs the jitted eval path over ITS
+    contiguous slice of the dataset on its LOCAL devices (the eval forward
+    compiles to zero collectives — tests/test_dp_hlo.py — so a global mesh
+    buys nothing), then one ``process_allgather`` exchanges the small result
+    arrays and every process computes the identical AP table. Files (results
+    json, eval log) are written by process 0 only.
+
+    Single-process: falls through to ``validate`` on a local mesh.
+    """
+    pid, nproc = jax.process_index(), jax.process_count()
+    from rsgnet_tpu.parallel.distributed import gather_host_results
+    from rsgnet_tpu.parallel.mesh import make_mesh
+    local_mesh = make_mesh(devices=jax.local_devices(),
+                           axis_name=cfg.MESH_DATA_AXIS)
+    if nproc == 1:
+        return validate(cfg, dataset, model, variables,
+                        batch_size=batch_size, output_dir=output_dir,
+                        num_workers=num_workers, logger=logger,
+                        mesh=local_mesh, pipeline=pipeline, infer_fn=infer_fn)
+    sub = dataset.shard(pid, nproc)
+    preds, boxes, ids = collect_predictions(
+        cfg, sub, model, variables, batch_size=batch_size,
+        num_workers=num_workers, logger=logger, mesh=local_mesh,
+        pipeline=pipeline, infer_fn=infer_fn)
+    preds, boxes, ids = gather_host_results((preds, boxes, ids),
+                                            len(dataset))
+    name_value, ap = dataset.evaluate(
+        preds, boxes, ids, output_dir=output_dir if pid == 0 else None)
     if logger:
         logger.info("| %s |", " | ".join(f"{kk}: {v:.4f}"
                                          for kk, v in name_value.items()))

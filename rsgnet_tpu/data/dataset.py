@@ -109,6 +109,19 @@ class TopDownDataset:
     def __len__(self):
         return len(self.db)
 
+    def shard(self, process_id: int, num_processes: int):
+        """Shallow view holding this process's contiguous db slice
+        (multi-host eval: each host collects predictions for its slice,
+        results are gathered before ``evaluate`` — core/validate.py).
+        Slices are contiguous so concatenating them in process order
+        restores the original db order."""
+        import copy
+        from rsgnet_tpu.parallel.distributed import shard_bounds
+        lo, hi = shard_bounds(len(self.db), process_id, num_processes)
+        sub = copy.copy(self)
+        sub.db = self.db[lo:hi]
+        return sub
+
     # -- host-side loading --------------------------------------------------
 
     def _needed_extent(self, scale: np.ndarray) -> np.ndarray:

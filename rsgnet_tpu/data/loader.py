@@ -23,7 +23,7 @@ class BatchLoader:
     def __init__(self, dataset, batch_size: int, shuffle=False,
                  drop_last=False, num_workers: int = 8, seed: int = 0,
                  lookahead: int = 4, pad_last: bool = True,
-                 cropped: bool = False):
+                 cropped: bool = False, process_shard=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -33,6 +33,19 @@ class BatchLoader:
         self.lookahead = lookahead
         self.pad_last = pad_last
         self.cropped = cropped        # host-side crop pipeline (eval)
+        # (process_id, num_processes): multi-host DP — every process computes
+        # the SAME global batch order (seed+epoch pinned) and collates only
+        # its contiguous slice of each batch; ``device_prefetch`` assembles
+        # the global array via make_array_from_process_local_data. The torch
+        # DistributedSampler analogue, but sliced within-batch so the global
+        # batch is bit-identical to the single-process one.
+        if process_shard is not None:
+            pid, nproc = process_shard
+            assert 0 <= pid < nproc, process_shard
+            assert drop_last, "process_shard requires drop_last " \
+                "(partial global batches have no well-defined local slice)"
+            assert batch_size % nproc == 0, (batch_size, nproc)
+        self.process_shard = process_shard
         self.epoch = 0
 
     def __len__(self):
@@ -71,6 +84,11 @@ class BatchLoader:
 
     def __iter__(self) -> Iterator[dict]:
         batches = self._index_batches()
+        if self.process_shard is not None:
+            pid, nproc = self.process_shard
+            batches = [(b[len(b) * pid // nproc:
+                          len(b) * (pid + 1) // nproc], real)
+                       for b, real in batches]
         self.epoch += 1
         window = self.lookahead + self.num_workers   # bounded decode-ahead
         collate = (lambda b: self.dataset.collate(b, cropped=True)) \
@@ -90,23 +108,31 @@ class BatchLoader:
 
 
 def device_prefetch(iterator, sharding=None, size: int = 2):
-    """Move batches to device ``size`` steps ahead of consumption."""
+    """Move batches to device ``size`` steps ahead of consumption.
+
+    When ``sharding`` spans devices of OTHER processes (multi-host DP), each
+    process's batches are its local shard and the global array is assembled
+    with ``jax.make_array_from_process_local_data`` — the H2D overlap works
+    identically; only the addressable slice moves over this host's PCIe.
+    """
     q: "queue.Queue" = queue.Queue(maxsize=size)
     sentinel = object()
+    if sharding is not None and not sharding.is_fully_addressable:
+        def put(v):
+            return jax.make_array_from_process_local_data(sharding, v)
+    elif sharding is not None:
+        def put(v):
+            return jax.device_put(v, sharding)
+    else:
+        put = jax.device_put
 
     def producer():
         # a decode/device_put failure must surface in the consumer, not
         # silently truncate the epoch
         try:
             for batch in iterator:
-                if sharding is not None:
-                    batch = {k: (jax.device_put(v, sharding)
-                                 if isinstance(v, np.ndarray) else v)
-                             for k, v in batch.items()}
-                else:
-                    batch = {k: (jax.device_put(v)
-                                 if isinstance(v, np.ndarray) else v)
-                             for k, v in batch.items()}
+                batch = {k: (put(v) if isinstance(v, np.ndarray) else v)
+                         for k, v in batch.items()}
                 q.put(batch)
         except BaseException as e:  # noqa: BLE001 — re-raised in consumer
             q.put(e)

@@ -25,11 +25,23 @@ from jax.sharding import Mesh
 def initialize_distributed(coordinator_address=None, num_processes=None,
                            process_id=None):
     """jax.distributed.initialize when running multi-process; no-op when the
-    launcher env is absent (single-process)."""
+    launcher env is absent (single-process). Returns True if initialized.
+
+    Launcher contract (any arg not passed explicitly):
+      JAX_NUM_PROCESSES        — total process count (>1 activates)
+      JAX_COORDINATOR_ADDRESS  — host:port of process 0
+      JAX_PROCESS_ID           — this process's rank
+    On managed TPU pods jax.distributed auto-detects all three, so only
+    JAX_NUM_PROCESSES (or the num_processes arg) is strictly required here.
+    """
     import os
     if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
         num_processes = int(os.environ["JAX_NUM_PROCESSES"])
     if num_processes and num_processes > 1:
+        if coordinator_address is None:
+            coordinator_address = os.environ.get("JAX_COORDINATOR_ADDRESS")
+        if process_id is None and "JAX_PROCESS_ID" in os.environ:
+            process_id = int(os.environ["JAX_PROCESS_ID"])
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
@@ -57,3 +69,37 @@ def local_batch_to_global(batch, mesh: Mesh, axis_name: str = "data"):
             lambda x: jax.device_put(x, sharding), batch)
     return jax.tree_util.tree_map(
         lambda x: jax.make_array_from_process_local_data(sharding, x), batch)
+
+
+def shard_bounds(total: int, process_id: int, num_processes: int):
+    """Contiguous [lo, hi) slice of ``total`` items owned by a process —
+    the single formula shared by ``TopDownDataset.shard`` and the result
+    gather, so ownership is always consistent."""
+    return (total * process_id // num_processes,
+            total * (process_id + 1) // num_processes)
+
+
+def gather_host_results(arrays, total: int):
+    """All-gather per-process result arrays (leading axis = this process's
+    ``shard_bounds`` slice of ``total``) into full host arrays, concatenated
+    in process order.
+
+    Local sizes differ by at most one, and every process derives every
+    other's count from the same formula — so arrays are zero-padded to the
+    common max, exchanged with ``multihost_utils.process_allgather`` (one
+    collective over DCN/Gloo), and trimmed. Single-process: identity.
+    """
+    nproc = jax.process_count()
+    if nproc == 1:
+        return tuple(arrays)
+    from jax.experimental import multihost_utils
+    counts = [shard_bounds(total, p, nproc)[1]
+              - shard_bounds(total, p, nproc)[0] for p in range(nproc)]
+    m = max(counts)
+    padded = tuple(
+        a if len(a) == m else np.concatenate(
+            [a, np.zeros((m - len(a),) + a.shape[1:], a.dtype)])
+        for a in arrays)
+    gathered = multihost_utils.process_allgather(padded)  # (nproc, m, ...)
+    return tuple(np.concatenate([g[p, :counts[p]] for p in range(nproc)])
+                 for g in gathered)

@@ -11,8 +11,15 @@ import time
 from pathlib import Path
 
 
-def create_logger(cfg, cfg_name: str, phase: str = "train"):
-    """Returns (logger, final_output_dir, tb_log_dir)."""
+def create_logger(cfg, cfg_name: str, phase: str = "train", rank: int = 0):
+    """Returns (logger, final_output_dir, tb_log_dir).
+
+    ``rank`` (multi-host runs): process 0 owns the file handler and INFO
+    console stream; other ranks get a console-only logger at WARNING with a
+    ``[p{rank}]`` prefix so per-step chatter isn't duplicated N× but real
+    problems from any host still surface. Directory layout is created by
+    every rank (mkdir is idempotent on the shared filesystem fit() assumes).
+    """
     root = Path(cfg.OUTPUT_DIR)
     dataset = cfg.DATASET.DATASET
     model = cfg.MODEL.NAME
@@ -27,14 +34,16 @@ def create_logger(cfg, cfg_name: str, phase: str = "train"):
     tb_log_dir.mkdir(parents=True, exist_ok=True)
 
     logger = logging.getLogger(f"rsgnet.{phase}")
-    logger.setLevel(logging.INFO)
+    logger.setLevel(logging.INFO if rank == 0 else logging.WARNING)
     logger.handlers.clear()
-    fmt = logging.Formatter("%(asctime)-15s %(message)s")
-    fh = logging.FileHandler(str(final_output_dir / log_file))
-    fh.setFormatter(fmt)
+    prefix = "" if rank == 0 else f"[p{rank}] "
+    fmt = logging.Formatter(f"%(asctime)-15s {prefix}%(message)s")
+    if rank == 0:
+        fh = logging.FileHandler(str(final_output_dir / log_file))
+        fh.setFormatter(fmt)
+        logger.addHandler(fh)
     sh = logging.StreamHandler()
     sh.setFormatter(fmt)
-    logger.addHandler(fh)
     logger.addHandler(sh)
     logger.propagate = False
     return logger, str(final_output_dir), str(tb_log_dir)

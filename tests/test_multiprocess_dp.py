@@ -86,3 +86,62 @@ def test_two_process_dp_matches_single_process():
 
     ref = _single_process_losses()
     np.testing.assert_allclose(seen[0], ref, rtol=2e-5, atol=2e-5)
+
+
+def test_two_process_fit_matches_single_process(tmp_path):
+    """The WHOLE user path (fit: process-sharded loader -> global-mesh train
+    step -> per-host validate_distributed -> rank-0 checkpointing) under 2
+    real processes equals the single-process 8-device fit numerically."""
+    from tests.fixtures.synthetic_coco import make_dataset, write_fixture
+    from tests.worker_fit_common import make_fit_cfg
+
+    root = tmp_path / "coco_mp"
+    write_fixture(str(root), make_dataset())
+    out_mp = tmp_path / "out_mp"
+
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    worker = os.path.join(REPO, "tests", "worker_fit.py")
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(i), "2", str(port), str(root),
+         str(out_mp)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env, cwd=REPO) for i in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+
+    seen = {}
+    for out in outs:
+        for m in re.finditer(r"FIT\[(\d)\]: ([\d.eE+-]+) ([\d.eE+-]+)", out):
+            seen[int(m.group(1))] = (float(m.group(2)), float(m.group(3)))
+    assert set(seen) == {0, 1}, (seen, [o[-2000:] for o in outs])
+    # one SPMD program: both processes end with identical params + perf
+    np.testing.assert_allclose(seen[0], seen[1], rtol=0, atol=0)
+    # process 0 alone wrote the checkpoint
+    assert (out_mp / "checkpoint.msgpack").exists()
+
+    # single-process reference: same config, same fixture, 8-device mesh
+    from rsgnet_tpu.core.function import fit
+    from rsgnet_tpu.data import get_dataset
+    from rsgnet_tpu.models import get_pose_net
+    import jax as _jax
+    cfg = make_fit_cfg()
+    model = get_pose_net(cfg)
+    train_ds = get_dataset(cfg, root=str(root), image_set="val",
+                           is_train=True)
+    train_ds.db = (train_ds.db * 3)[:8]
+    val_ds = get_dataset(cfg, root=str(root), image_set="val",
+                         is_train=False)
+    state, best = fit(cfg, model, train_ds, val_ds,
+                      output_dir=str(tmp_path / "out_sp"), max_epochs=1,
+                      num_workers=2)
+    leaves = _jax.tree_util.tree_leaves(_jax.device_get(state.params))
+    checksum = float(sum(np.abs(np.asarray(x, np.float64)).sum()
+                         for x in leaves))
+    np.testing.assert_allclose(seen[0][0], checksum, rtol=1e-5)
+    np.testing.assert_allclose(seen[0][1], best, rtol=0, atol=1e-9)

@@ -12,9 +12,10 @@ import argparse
 
 import _init_paths  # noqa: F401
 from rsgnet_tpu.config.defaults import load_config, opts_to_dict
-from rsgnet_tpu.core.validate import validate
+from rsgnet_tpu.core.validate import validate, validate_distributed
 from rsgnet_tpu.data import get_dataset
 from rsgnet_tpu.models import get_pose_net
+from rsgnet_tpu.parallel.distributed import initialize_distributed
 from rsgnet_tpu.utils.checkpoint import load_weights
 from rsgnet_tpu.utils.logger import create_logger
 
@@ -33,21 +34,30 @@ def parse_args():
 
 def main():
     args = parse_args()
+    initialize_distributed()     # no-op single-process; see tools/train.py
+    import jax
     cfg = load_config(args.cfg, overrides=opts_to_dict(args.opts))
-    logger, output_dir, _ = create_logger(cfg, args.cfg, "valid")
+    logger, output_dir, _ = create_logger(cfg, args.cfg, "valid",
+                                          rank=jax.process_index())
     model = get_pose_net(cfg)
     variables = load_weights(cfg, model, cfg.TEST.MODEL_FILE)
     dataset = get_dataset(cfg, is_train=False)
-    import jax
-    from rsgnet_tpu.parallel.mesh import make_mesh
-    mesh = make_mesh(axis_name=cfg.MESH_DATA_AXIS) \
-        if len(jax.devices()) > 1 else None
-    name_value, ap = validate(cfg, dataset, model, variables,
-                              output_dir=output_dir, logger=logger,
-                              num_workers=cfg.WORKERS if args.workers is None
-                              else args.workers,
-                              mesh=mesh,
-                              pipeline=args.pipeline)
+    workers = cfg.WORKERS if args.workers is None else args.workers
+    if jax.process_count() > 1:
+        # each host evaluates its dataset slice on local devices; results
+        # gathered before the AP table (core/validate.py)
+        name_value, ap = validate_distributed(
+            cfg, dataset, model, variables, output_dir=output_dir,
+            logger=logger, num_workers=workers, pipeline=args.pipeline)
+    else:
+        from rsgnet_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(axis_name=cfg.MESH_DATA_AXIS) \
+            if len(jax.devices()) > 1 else None
+        name_value, ap = validate(cfg, dataset, model, variables,
+                                  output_dir=output_dir, logger=logger,
+                                  num_workers=workers,
+                                  mesh=mesh,
+                                  pipeline=args.pipeline)
     logger.info("AP: %.4f", ap)
     for k, v in name_value.items():
         logger.info("%-8s: %.4f", k, v)

@@ -7,6 +7,12 @@
 Builds the model + datasets from the config, trains data-parallel over all
 local devices with on-device augmentation, validates each epoch, checkpoints
 best-by-AP, and auto-resumes from ``checkpoint.msgpack`` when present.
+
+Multi-host: launch one copy per host with JAX_NUM_PROCESSES /
+JAX_COORDINATOR_ADDRESS / JAX_PROCESS_ID set (see
+``rsgnet_tpu.parallel.distributed``); the mesh then spans every host's
+devices, each host feeds its slice of the global batch, and process 0 owns
+all file outputs. Single-host runs need no extra flags.
 """
 import argparse
 
@@ -15,6 +21,7 @@ from rsgnet_tpu.config.defaults import load_config, opts_to_dict
 from rsgnet_tpu.core.function import fit
 from rsgnet_tpu.data import get_dataset
 from rsgnet_tpu.models import get_pose_net
+from rsgnet_tpu.parallel.distributed import initialize_distributed
 from rsgnet_tpu.utils.logger import create_logger
 
 
@@ -37,11 +44,19 @@ def parse_args():
 
 def main():
     args = parse_args()
+    # must run before any jax device query — the distributed handshake
+    # (no-op single-process) determines what jax.devices() returns
+    initialize_distributed()
+    import jax
     cfg = load_config(args.cfg, overrides=opts_to_dict(args.opts))
     if args.dataDir:
         cfg.DATASET.ROOT = args.dataDir
-    logger, output_dir, tb_dir = create_logger(cfg, args.cfg, "train")
+    logger, output_dir, tb_dir = create_logger(cfg, args.cfg, "train",
+                                               rank=jax.process_index())
     logger.info("config: %s", cfg)
+    logger.info("devices: %d global / %d local, %d process(es)",
+                jax.device_count(), jax.local_device_count(),
+                jax.process_count())
     if args.debug_nans:
         from rsgnet_tpu.utils.profiler import enable_nan_checks
         enable_nan_checks(True)
