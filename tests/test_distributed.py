@@ -13,6 +13,30 @@ def test_initialize_noop_single_process():
     assert initialize_distributed() is False
 
 
+def test_initialize_env_contract(monkeypatch):
+    """The launcher env vars (docs/DISTRIBUTED.md) map 1:1 onto
+    jax.distributed.initialize args — recorded via monkeypatch, no real
+    handshake."""
+    calls = {}
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: calls.update(kw))
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "4")
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "host0:1234")
+    monkeypatch.setenv("JAX_PROCESS_ID", "2")
+    assert initialize_distributed() is True
+    assert calls == {"coordinator_address": "host0:1234",
+                     "num_processes": 4, "process_id": 2}
+    # explicit args beat the env
+    calls.clear()
+    assert initialize_distributed(coordinator_address="h:1",
+                                  num_processes=2, process_id=1) is True
+    assert calls == {"coordinator_address": "h:1",
+                     "num_processes": 2, "process_id": 1}
+    # JAX_NUM_PROCESSES=1 -> no-op
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "1")
+    assert initialize_distributed() is False
+
+
 def test_global_mesh_covers_all_devices():
     mesh = make_global_mesh()
     assert mesh.size == len(jax.devices())
