@@ -81,11 +81,14 @@ def collect_predictions(cfg: Config, dataset, model, variables,
         def to_mesh(x):
             # multi-host fit passes params living on the GLOBAL train mesh
             # while eval runs on the LOCAL mesh — device_put between the two
-            # is a "cross-host transfer" jax refuses, but replicated arrays
-            # are fully materializable on every host, so hop through numpy
+            # is a "cross-host transfer" jax refuses. Replicated leaves have
+            # an addressable shard on every host, so start from that local
+            # device buffer (no D2H round trip of the whole param tree);
+            # anything else (not expected here) falls back through numpy.
             if (hasattr(x, "sharding")
                     and not x.sharding.device_set <= set(mesh.devices.flat)):
-                x = jax.device_get(x)
+                x = (x.addressable_data(0)
+                     if x.sharding.is_fully_replicated else jax.device_get(x))
             return jax.device_put(x, NamedSharding(mesh, P()))
 
         variables = jax.tree_util.tree_map(to_mesh, variables)
@@ -172,7 +175,13 @@ def validate(cfg: Config, dataset, model, variables,
         cfg, dataset, model, variables, batch_size=batch_size,
         num_workers=num_workers, logger=logger, mesh=mesh,
         pipeline=pipeline, infer_fn=infer_fn)
-    name_value, ap = dataset.evaluate(all_preds, all_boxes, image_ids,
+    return _evaluate_and_log(dataset, all_preds, all_boxes, image_ids,
+                             output_dir, logger)
+
+
+def _evaluate_and_log(dataset, preds, boxes, ids, output_dir, logger):
+    """The shared tail of both validate flavors: AP table + metric log."""
+    name_value, ap = dataset.evaluate(preds, boxes, ids,
                                       output_dir=output_dir)
     if logger:
         logger.info("| %s |", " | ".join(f"{kk}: {v:.4f}"
@@ -211,9 +220,5 @@ def validate_distributed(cfg: Config, dataset, model, variables,
         pipeline=pipeline, infer_fn=infer_fn)
     preds, boxes, ids = gather_host_results((preds, boxes, ids),
                                             len(dataset))
-    name_value, ap = dataset.evaluate(
-        preds, boxes, ids, output_dir=output_dir if pid == 0 else None)
-    if logger:
-        logger.info("| %s |", " | ".join(f"{kk}: {v:.4f}"
-                                         for kk, v in name_value.items()))
-    return name_value, ap
+    return _evaluate_and_log(dataset, preds, boxes, ids,
+                             output_dir if pid == 0 else None, logger)

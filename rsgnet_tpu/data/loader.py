@@ -85,9 +85,9 @@ class BatchLoader:
     def __iter__(self) -> Iterator[dict]:
         batches = self._index_batches()
         if self.process_shard is not None:
+            from rsgnet_tpu.parallel.distributed import shard_bounds
             pid, nproc = self.process_shard
-            batches = [(b[len(b) * pid // nproc:
-                          len(b) * (pid + 1) // nproc], real)
+            batches = [(b[slice(*shard_bounds(len(b), pid, nproc))], real)
                        for b, real in batches]
         self.epoch += 1
         window = self.lookahead + self.num_workers   # bounded decode-ahead

@@ -37,17 +37,28 @@ def initialize_distributed(coordinator_address=None, num_processes=None,
     import os
     if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
         num_processes = int(os.environ["JAX_NUM_PROCESSES"])
-    if num_processes and num_processes > 1:
-        if coordinator_address is None:
-            coordinator_address = os.environ.get("JAX_COORDINATOR_ADDRESS")
-        if process_id is None and "JAX_PROCESS_ID" in os.environ:
-            process_id = int(os.environ["JAX_PROCESS_ID"])
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id)
-        return True
-    return False
+    if not num_processes or num_processes <= 1:
+        # partial launcher env = misconfiguration, not single-process: if we
+        # silently no-op'd, N processes would each run as rank 0 and clobber
+        # one another's checkpoints/logs in the shared output dir
+        stray = [k for k in ("JAX_COORDINATOR_ADDRESS", "JAX_PROCESS_ID")
+                 if k in os.environ]
+        if stray and coordinator_address is None and process_id is None:
+            raise RuntimeError(
+                f"{'/'.join(stray)} set but JAX_NUM_PROCESSES is "
+                f"{os.environ.get('JAX_NUM_PROCESSES', 'unset')} — set "
+                "JAX_NUM_PROCESSES=<total processes> on every host (or "
+                "unset the others for a single-process run)")
+        return False
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id)
+    return True
 
 
 def make_global_mesh(axis_name: str = "data") -> Mesh:
@@ -88,6 +99,11 @@ def gather_host_results(arrays, total: int):
     other's count from the same formula — so arrays are zero-padded to the
     common max, exchanged with ``multihost_utils.process_allgather`` (one
     collective over DCN/Gloo), and trimmed. Single-process: identity.
+
+    64-bit leaves (e.g. int64 COCO image ids, which are arbitrary ints from
+    the annotation file) would be silently truncated to 32 bits by the jax
+    round trip under the default ``jax_enable_x64=False`` — they travel as
+    a trailing pair of uint32 words instead and are viewed back after.
     """
     nproc = jax.process_count()
     if nproc == 1:
@@ -96,10 +112,25 @@ def gather_host_results(arrays, total: int):
     counts = [shard_bounds(total, p, nproc)[1]
               - shard_bounds(total, p, nproc)[0] for p in range(nproc)]
     m = max(counts)
-    padded = tuple(
-        a if len(a) == m else np.concatenate(
+
+    def pad(a):
+        if len(a) == m:
+            return a
+        return np.concatenate(
             [a, np.zeros((m - len(a),) + a.shape[1:], a.dtype)])
-        for a in arrays)
+
+    dtypes = [a.dtype for a in arrays]
+    trailing = [a.shape[1:] for a in arrays]
+    wide = [d.itemsize == 8 for d in dtypes]
+    padded = tuple(
+        np.ascontiguousarray(pad(a)).view(np.uint32).reshape(m, -1, 2)
+        if w else pad(a)
+        for a, w in zip(arrays, wide))
     gathered = multihost_utils.process_allgather(padded)  # (nproc, m, ...)
-    return tuple(np.concatenate([g[p, :counts[p]] for p in range(nproc)])
-                 for g in gathered)
+    out = []
+    for g, d, t, w in zip(gathered, dtypes, trailing, wide):
+        full = np.concatenate([g[p, :counts[p]] for p in range(nproc)])
+        if w:
+            full = np.ascontiguousarray(full).view(d).reshape((total,) + t)
+        out.append(full)
+    return tuple(out)

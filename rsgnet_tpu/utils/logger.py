@@ -14,11 +14,12 @@ from pathlib import Path
 def create_logger(cfg, cfg_name: str, phase: str = "train", rank: int = 0):
     """Returns (logger, final_output_dir, tb_log_dir).
 
-    ``rank`` (multi-host runs): process 0 owns the file handler and INFO
-    console stream; other ranks get a console-only logger at WARNING with a
-    ``[p{rank}]`` prefix so per-step chatter isn't duplicated N× but real
-    problems from any host still surface. Directory layout is created by
-    every rank (mkdir is idempotent on the shared filesystem fit() assumes).
+    ``rank`` (multi-host runs): process 0 owns the file handler, the INFO
+    console stream, and the tb dir; other ranks get a console-only logger at
+    WARNING with a ``[p{rank}]`` prefix so per-step chatter isn't duplicated
+    N× but real problems from any host still surface — and they create no
+    directories under LOG_DIR (the per-minute timestamp would litter the
+    shared filesystem with empty dirs; fit() ignores tb_dir off rank 0).
     """
     root = Path(cfg.OUTPUT_DIR)
     dataset = cfg.DATASET.DATASET
@@ -31,7 +32,8 @@ def create_logger(cfg, cfg_name: str, phase: str = "train", rank: int = 0):
     log_file = f"{cfg_name}_{time_str}_{phase}.log"
     tb_log_dir = Path(cfg.LOG_DIR) / dataset / model / \
         f"{cfg_name}_{time_str}"
-    tb_log_dir.mkdir(parents=True, exist_ok=True)
+    if rank == 0:
+        tb_log_dir.mkdir(parents=True, exist_ok=True)
 
     logger = logging.getLogger(f"rsgnet.{phase}")
     logger.setLevel(logging.INFO if rank == 0 else logging.WARNING)

@@ -32,8 +32,15 @@ def test_initialize_env_contract(monkeypatch):
                                   num_processes=2, process_id=1) is True
     assert calls == {"coordinator_address": "h:1",
                      "num_processes": 2, "process_id": 1}
-    # JAX_NUM_PROCESSES=1 -> no-op
+    # partial launcher env (coordinator/process-id without a >1 process
+    # count) = misconfiguration: raises rather than silently running N
+    # rank-0 processes against the same output dir
     monkeypatch.setenv("JAX_NUM_PROCESSES", "1")
+    with pytest.raises(RuntimeError, match="JAX_NUM_PROCESSES"):
+        initialize_distributed()
+    # clean single-process env -> plain no-op
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS")
+    monkeypatch.delenv("JAX_PROCESS_ID")
     assert initialize_distributed() is False
 
 
@@ -74,6 +81,40 @@ def test_gather_host_results_single_process_identity():
     ga, gb = gather_host_results((a, b), total=4)
     np.testing.assert_array_equal(ga, a)
     np.testing.assert_array_equal(gb, b)
+
+
+def test_gather_host_results_preserves_int64_ids(monkeypatch):
+    """COCO image ids are arbitrary int64s from the annotation file; the
+    allgather round trip must not truncate them to 32 bits (they travel as
+    uint32 word pairs). Simulated 2-process gather: a fake process_allgather
+    returns each process's padded contribution (here: this process's, plus
+    a shifted copy standing in for the peer)."""
+    from jax.experimental import multihost_utils
+
+    big = np.array([2**40 + 7, -3, 2**31, 5], np.int64)       # p0's 4 ids
+    peer = big + 1                                            # "p1's" ids
+    preds = np.arange(24, dtype=np.float32).reshape(4, 3, 2)
+
+    def fake_allgather(padded):
+        # shape contract: (nproc, m, ...) per leaf; 64-bit leaves arrive as
+        # uint32 (m, -1, 2) words — the peer's words are the shifted ids'
+        out = []
+        for x in padded:
+            if x.dtype == np.uint32:
+                p1 = np.ascontiguousarray(peer).view(
+                    np.uint32).reshape(x.shape)
+                out.append(np.stack([x, p1]))
+            else:
+                out.append(np.stack([x, x + 100.0]))
+        return tuple(out)
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(multihost_utils, "process_allgather", fake_allgather)
+    gp, gi = gather_host_results((preds, big), total=8)
+    np.testing.assert_array_equal(gi, np.concatenate([big, peer]))
+    np.testing.assert_array_equal(gp[:4], preds)
+    np.testing.assert_array_equal(gp[4:], preds + 100.0)
+    assert gi.dtype == np.int64 and gp.shape == (8, 3, 2)
 
 
 def test_dataset_shard_views_partition_db(tmp_path):

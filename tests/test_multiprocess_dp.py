@@ -61,26 +61,40 @@ def _single_process_losses():
     return losses
 
 
-def test_two_process_dp_matches_single_process():
+def _run_workers(worker, extra_args, tag):
+    """Launch 2 worker processes, collect their printed ``TAG[pid]: a b``
+    pairs, and assert success. Kills stragglers on timeout so a hung Gloo
+    handshake can't leak processes holding the coordinator port."""
     port = _free_port()
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     procs = [subprocess.Popen(
-        [sys.executable, WORKER, str(i), "2", str(port)],
+        [sys.executable, worker, str(i), "2", str(port)] + extra_args,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         env=env, cwd=REPO) for i in range(2)]
     outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=900)
-        outs.append(out)
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-3000:]
-
     seen = {}
     for out in outs:
-        for m in re.finditer(r"LOSSES\[(\d)\]: ([\d.]+) ([\d.]+)", out):
+        for m in re.finditer(
+                rf"{tag}\[(\d)\]: ([\d.eE+-]+) ([\d.eE+-]+)", out):
             seen[int(m.group(1))] = (float(m.group(2)), float(m.group(3)))
     assert set(seen) == {0, 1}, (seen, [o[-2000:] for o in outs])
+    return seen
+
+
+def test_two_process_dp_matches_single_process():
+    seen = _run_workers(WORKER, [], "LOSSES")
     # identical across processes — one SPMD program
     np.testing.assert_allclose(seen[0], seen[1], rtol=0, atol=0)
 
@@ -99,27 +113,8 @@ def test_two_process_fit_matches_single_process(tmp_path):
     write_fixture(str(root), make_dataset())
     out_mp = tmp_path / "out_mp"
 
-    port = _free_port()
-    env = {k: v for k, v in os.environ.items()
-           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     worker = os.path.join(REPO, "tests", "worker_fit.py")
-    procs = [subprocess.Popen(
-        [sys.executable, worker, str(i), "2", str(port), str(root),
-         str(out_mp)],
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        env=env, cwd=REPO) for i in range(2)]
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=900)
-        outs.append(out)
-    for p, out in zip(procs, outs):
-        assert p.returncode == 0, out[-3000:]
-
-    seen = {}
-    for out in outs:
-        for m in re.finditer(r"FIT\[(\d)\]: ([\d.eE+-]+) ([\d.eE+-]+)", out):
-            seen[int(m.group(1))] = (float(m.group(2)), float(m.group(3)))
-    assert set(seen) == {0, 1}, (seen, [o[-2000:] for o in outs])
+    seen = _run_workers(worker, [str(root), str(out_mp)], "FIT")
     # one SPMD program: both processes end with identical params + perf
     np.testing.assert_allclose(seen[0], seen[1], rtol=0, atol=0)
     # process 0 alone wrote the checkpoint
