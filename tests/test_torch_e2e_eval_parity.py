@@ -1,0 +1,109 @@
+"""WHOLE-eval-pipeline torch-mirror parity (composition-level evidence).
+
+Every stage of the eval path has its own oracle test (torch forward, cv2
+warp, numpy decode, numpy inverse affine) — this test checks the
+COMPOSITION: a second, independently assembled pipeline in torch/numpy
+conventions (normalize -> NCHW torch flagship forward -> reference-style
+flip_back + SHIFT_HEATMAP -> numpy argmax/quarter-offset decode -> numpy
+transform_preds) must produce the same image-space keypoints and the same
+AP table as ``collect_predictions`` + ``dataset.evaluate`` over the
+synthetic COCO fixture. This catches stage-boundary bugs (normalization
+order, flip-permutation application point, decode input layout, inverse
+affine argument order) that per-stage oracles cannot.
+
+Both sides consume the SAME host crops (``collate(..., cropped=True)``) —
+the crop itself is pinned to cv2 by tests/test_cv2_parity.py; here the
+subject is everything after it. Reference: SURVEY.md §3.2 validate().
+"""
+import numpy as np
+
+import pytest
+
+from rsgnet_tpu.core.validate import collect_predictions
+from rsgnet_tpu.data import get_dataset
+from rsgnet_tpu.data.skeletons import get_spec
+from rsgnet_tpu.models import get_pose_net
+from rsgnet_tpu.ops.affine import transform_preds
+
+from test_decode import _get_max_preds_oracle, _quarter_oracle
+from test_torch_rsg_oracle import _randomized, _tiny_rsg_cfg
+from torch_rsgnet import torch_rsgnet_forward
+
+
+@pytest.fixture(scope="module")
+def fixture_root(tmp_path_factory):
+    from tests.fixtures.synthetic_coco import make_dataset, write_fixture
+    root = tmp_path_factory.mktemp("coco_e2e_parity")
+    write_fixture(str(root), make_dataset())
+    return str(root)
+
+
+def _torch_pipeline(cfg, variables, spec, batch):
+    """The reference validate() body, assembled INDEPENDENTLY in
+    torch/numpy conventions. batch: host-cropped uint8 inputs + metadata."""
+    # ToTensor + Normalize(imagenet) — torchvision convention
+    x = batch["input"].astype(np.float32) / 255.0
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    x = (x - mean) / std
+    x_nchw = np.ascontiguousarray(np.transpose(x, (0, 3, 1, 2)))
+    adjacency = spec.adjacency()
+
+    out, _ = torch_rsgnet_forward(cfg, variables, adjacency, x_nchw)
+    assert cfg.TEST.FLIP_TEST
+    out_f, _ = torch_rsgnet_forward(
+        cfg, variables, adjacency,
+        np.ascontiguousarray(x_nchw[:, :, :, ::-1]))
+    # reference flip_back: mirror x, swap L/R channels, SHIFT_HEATMAP
+    out_f = out_f[:, :, :, ::-1].copy()
+    for a, b in spec.flip_pairs:
+        out_f[:, [a, b]] = out_f[:, [b, a]]
+    assert cfg.TEST.SHIFT_HEATMAP
+    out_f[:, :, :, 1:] = out_f[:, :, :, 0:-1].copy()
+    avg = (out + out_f) * 0.5
+
+    coords, maxvals = _get_max_preds_oracle(avg)
+    assert cfg.TEST.POST_PROCESS and cfg.TEST.DECODE == "default"
+    coords = _quarter_oracle(avg, coords)
+    hm_w, hm_h = cfg.MODEL.HEATMAP_SIZE
+    preds = np.stack([
+        transform_preds(coords[i], batch["center"][i], batch["scale"][i],
+                        (hm_w, hm_h))
+        for i in range(coords.shape[0])])
+    return (np.concatenate([preds, maxvals], -1).astype(np.float32),
+            maxvals)
+
+
+def test_eval_pipeline_matches_torch_mirror(fixture_root):
+    cfg = _tiny_rsg_cfg("coco")
+    cfg.DATASET.ROOT = fixture_root
+    cfg.DATASET.TEST_SET = "val"
+    cfg.TEST.BATCH_SIZE_PER_GPU = 4
+    spec = get_spec("coco")
+    model = get_pose_net(cfg)
+    variables = _randomized(model, cfg, seed=3)
+
+    ds = get_dataset(cfg, root=fixture_root, image_set="val",
+                     is_train=False)
+    n = len(ds)
+
+    ours_preds, ours_boxes, ours_ids = collect_predictions(
+        cfg, ds, model, variables, num_workers=2, pipeline="host")
+
+    batch = ds.collate(np.arange(n), cropped=True)
+    theirs_preds, _ = _torch_pipeline(cfg, variables, spec, batch)
+
+    # coordinates in ORIGINAL-image space; fp32 two-framework noise is
+    # ~1e-4 heatmap units, far below a quarter-offset step — sub-1e-2 px
+    np.testing.assert_allclose(ours_preds[:, :, :2],
+                               theirs_preds[:, :, :2], atol=1e-2)
+    np.testing.assert_allclose(ours_preds[:, :, 2],
+                               theirs_preds[:, :, 2], atol=1e-4)
+    np.testing.assert_array_equal(ours_ids, batch["image_id"].reshape(-1))
+
+    # identical AP tables through the same evaluator
+    nv_ours, ap_ours = ds.evaluate(ours_preds, ours_boxes, ours_ids)
+    nv_theirs, ap_theirs = ds.evaluate(theirs_preds, ours_boxes, ours_ids)
+    assert ap_ours == pytest.approx(ap_theirs, abs=1e-9)
+    for k in nv_ours:
+        assert nv_ours[k] == pytest.approx(nv_theirs[k], abs=1e-9), k
