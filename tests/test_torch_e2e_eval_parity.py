@@ -30,12 +30,20 @@ from test_torch_rsg_oracle import _randomized, _tiny_rsg_cfg
 from torch_rsgnet import torch_rsgnet_forward
 
 
-@pytest.fixture(scope="module")
-def fixture_root(tmp_path_factory):
+def _make_fixture(tmp_path_factory, dataset):
+    import json
+    import os
     from tests.fixtures.synthetic_coco import make_dataset, write_fixture
-    root = tmp_path_factory.mktemp("coco_e2e_parity")
-    write_fixture(str(root), make_dataset())
-    return str(root)
+    root = str(tmp_path_factory.mktemp(f"{dataset}_e2e_parity"))
+    if dataset == "coco":
+        write_fixture(root, make_dataset())
+        return root, "val"
+    ds_dict = make_dataset(num_joints=14, crowd_index=True)
+    os.makedirs(os.path.join(root, "json"))
+    with open(os.path.join(root, "json", "crowdpose_test.json"), "w") as f:
+        json.dump(ds_dict, f)
+    write_fixture(root, ds_dict)
+    return root, "test"
 
 
 def _torch_pipeline(cfg, variables, spec, batch):
@@ -74,17 +82,18 @@ def _torch_pipeline(cfg, variables, spec, batch):
             maxvals)
 
 
-def test_eval_pipeline_matches_torch_mirror(fixture_root):
-    cfg = _tiny_rsg_cfg("coco")
-    cfg.DATASET.ROOT = fixture_root
-    cfg.DATASET.TEST_SET = "val"
+@pytest.mark.parametrize("dataset,seed", [("coco", 3), ("crowdpose", 4)])
+def test_eval_pipeline_matches_torch_mirror(tmp_path_factory, dataset, seed):
+    root, image_set = _make_fixture(tmp_path_factory, dataset)
+    cfg = _tiny_rsg_cfg(dataset)
+    cfg.DATASET.ROOT = root
+    cfg.DATASET.TEST_SET = image_set
     cfg.TEST.BATCH_SIZE_PER_GPU = 4
-    spec = get_spec("coco")
+    spec = get_spec(dataset)
     model = get_pose_net(cfg)
-    variables = _randomized(model, cfg, seed=3)
+    variables = _randomized(model, cfg, seed=seed)
 
-    ds = get_dataset(cfg, root=fixture_root, image_set="val",
-                     is_train=False)
+    ds = get_dataset(cfg, root=root, image_set=image_set, is_train=False)
     n = len(ds)
 
     ours_preds, ours_boxes, ours_ids = collect_predictions(
