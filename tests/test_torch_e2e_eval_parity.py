@@ -46,22 +46,20 @@ def _make_fixture(tmp_path_factory, dataset):
     return root, "test"
 
 
-def _torch_pipeline(cfg, variables, spec, batch):
+def _torch_pipeline(cfg, forward, spec, batch):
     """The reference validate() body, assembled INDEPENDENTLY in
-    torch/numpy conventions. batch: host-cropped uint8 inputs + metadata."""
+    torch/numpy conventions. batch: host-cropped uint8 inputs + metadata;
+    forward: NCHW numpy -> NCHW heatmaps (a torch-mirror model)."""
     # ToTensor + Normalize(imagenet) — torchvision convention
     x = batch["input"].astype(np.float32) / 255.0
     mean = np.array([0.485, 0.456, 0.406], np.float32)
     std = np.array([0.229, 0.224, 0.225], np.float32)
     x = (x - mean) / std
     x_nchw = np.ascontiguousarray(np.transpose(x, (0, 3, 1, 2)))
-    adjacency = spec.adjacency()
 
-    out, _ = torch_rsgnet_forward(cfg, variables, adjacency, x_nchw)
+    out = forward(x_nchw)
     assert cfg.TEST.FLIP_TEST
-    out_f, _ = torch_rsgnet_forward(
-        cfg, variables, adjacency,
-        np.ascontiguousarray(x_nchw[:, :, :, ::-1]))
+    out_f = forward(np.ascontiguousarray(x_nchw[:, :, :, ::-1]))
     # reference flip_back: mirror x, swap L/R channels, SHIFT_HEATMAP
     out_f = out_f[:, :, :, ::-1].copy()
     for a, b in spec.flip_pairs:
@@ -100,7 +98,12 @@ def test_eval_pipeline_matches_torch_mirror(tmp_path_factory, dataset, seed):
         cfg, ds, model, variables, num_workers=2, pipeline="host")
 
     batch = ds.collate(np.arange(n), cropped=True)
-    theirs_preds, _ = _torch_pipeline(cfg, variables, spec, batch)
+    adjacency = spec.adjacency()
+
+    def forward(x_nchw):
+        return torch_rsgnet_forward(cfg, variables, adjacency, x_nchw)[0]
+
+    theirs_preds, _ = _torch_pipeline(cfg, forward, spec, batch)
 
     # coordinates in ORIGINAL-image space; fp32 two-framework noise is
     # ~1e-4 heatmap units, far below a quarter-offset step — sub-1e-2 px
@@ -114,5 +117,49 @@ def test_eval_pipeline_matches_torch_mirror(tmp_path_factory, dataset, seed):
     nv_ours, ap_ours = ds.evaluate(ours_preds, ours_boxes, ours_ids)
     nv_theirs, ap_theirs = ds.evaluate(theirs_preds, ours_boxes, ours_ids)
     assert ap_ours == pytest.approx(ap_theirs, abs=1e-9)
+    for k in nv_ours:
+        assert nv_ours[k] == pytest.approx(nv_theirs[k], abs=1e-9), k
+
+
+def test_mpii_resnet_pipeline_matches_torch_mirror(tmp_path_factory):
+    """Same composition check through the OTHER family and the OTHER eval
+    contract: pose_resnet (SimpleBaseline, torch mirror from
+    tests/torch_resnet.py via export_state_dict) on the MPII fixture —
+    MPII's 16-kpt flip pairs and the no-NMS PCKh@0.5 evaluate path."""
+    from rsgnet_tpu.config.defaults import tiny_resnet
+    from rsgnet_tpu.utils.torch_convert import export_state_dict
+    from tests.fixtures.synthetic_mpii import (NUM_JOINTS, make_entries,
+                                               write_fixture)
+    from test_torch_resnet_oracle import _randomized_variables
+    from torch_resnet import torch_forward
+
+    root = str(tmp_path_factory.mktemp("mpii_e2e_parity"))
+    write_fixture(root, make_entries())
+
+    cfg = tiny_resnet()
+    cfg.MODEL.NUM_JOINTS = NUM_JOINTS
+    cfg.DATASET.DATASET = "mpii"
+    cfg.DATASET.ROOT = root
+    cfg.DATASET.TEST_SET = "valid"
+    cfg.TEST.BATCH_SIZE_PER_GPU = 4
+    spec = get_spec("mpii")
+    model, variables = _randomized_variables(cfg, seed=5)
+    sd = export_state_dict(cfg, variables["params"],
+                           variables["batch_stats"])
+
+    ds = get_dataset(cfg, root=root, image_set="valid", is_train=False)
+    n = len(ds)
+    ours_preds, _, ours_ids = collect_predictions(
+        cfg, ds, model, variables, num_workers=2, pipeline="host")
+
+    batch = ds.collate(np.arange(n), cropped=True)
+    theirs_preds, _ = _torch_pipeline(
+        cfg, lambda x: torch_forward(cfg, sd, x), spec, batch)
+
+    np.testing.assert_allclose(ours_preds[:, :, :2],
+                               theirs_preds[:, :, :2], atol=1e-2)
+    nv_ours, m_ours = ds.evaluate(ours_preds, None, ours_ids)
+    nv_theirs, m_theirs = ds.evaluate(theirs_preds, None, ours_ids)
+    assert m_ours == pytest.approx(m_theirs, abs=1e-9)
     for k in nv_ours:
         assert nv_ours[k] == pytest.approx(nv_theirs[k], abs=1e-9), k
