@@ -139,6 +139,13 @@ class TrainConfig:
     #             footprint is a sheared bilinear, so rotated samples differ
     #             slightly from cv2 filtering (exact at rot 0/90/flips).
     WARP: str = "shear"
+    # TPU-native addition: serialize+write checkpoints in a background
+    # thread (the device->host snapshot stays synchronous — the train step
+    # donates the state buffers, so it must complete before the next step).
+    # Off by default to keep the reference's durability semantics (the
+    # checkpoint is on disk before the next epoch starts); recommended for
+    # long multi-epoch runs where the per-epoch write stall matters.
+    ASYNC_CHECKPOINT: bool = False
 
 
 @dataclass

@@ -185,6 +185,13 @@ def fit(cfg: Config, model, train_dataset, val_dataset=None,
                         best_perf)
 
     writer = _make_tb_writer(tb_dir)
+    ckpt = None
+    if cfg.TRAIN.ASYNC_CHECKPOINT:
+        from rsgnet_tpu.utils.checkpoint import AsyncCheckpointer
+        ckpt = AsyncCheckpointer()
+        saver = ckpt.save
+    else:
+        saver = save_checkpoint
     # build the eval function ONCE — per-epoch rebuilds would retrace and
     # recompile the whole inference program every epoch
     val_infer = None
@@ -239,8 +246,8 @@ def fit(cfg: Config, model, train_dataset, val_dataset=None,
         is_best = validated and perf >= best_perf
         best_perf = max(best_perf, perf)
         if is_main:
-            save_checkpoint(output_dir, state, epoch, perf, is_best,
-                            best_perf=best_perf)
+            saver(output_dir, state, epoch, perf, is_best,
+                  best_perf=best_perf)
         if writer:
             writer.write_scalars(epoch, {"train_loss": loss,
                                          "valid_AP": perf,
@@ -248,6 +255,8 @@ def fit(cfg: Config, model, train_dataset, val_dataset=None,
         if logger:
             logger.info("epoch %d: loss %.5f perf %.4f best %.4f",
                         epoch, loss, perf, best_perf)
+    if ckpt is not None:
+        ckpt.wait()                 # last checkpoint durable before return
     if writer:
         writer.flush()
     return state, best_perf

@@ -24,16 +24,12 @@ def _to_host(tree):
     return jax.tree_util.tree_map(np.asarray, tree)
 
 
-def save_checkpoint(out_dir: str, state, epoch: int, perf: float,
-                    is_best: bool, best_perf: float | None = None) -> str:
-    """state: core.train.TrainState. Returns the checkpoint path.
-
-    ``perf`` is THIS epoch's metric (0.0 on epochs that didn't validate);
-    ``best_perf`` is the running best, persisted separately so a resumed run
-    never overwrites ``model_best`` with a worse model (the reference stores
-    the running best too — ADVICE round-2)."""
-    os.makedirs(out_dir, exist_ok=True)
-    payload = {
+def _snapshot(state, epoch: int, perf: float,
+              best_perf: float | None) -> dict:
+    """Host-side payload. MUST run before the next train step: the step
+    donates the state buffers, so device arrays referenced here would be
+    invalidated — which is why even the async path snapshots inline."""
+    return {
         "epoch": epoch,
         "step": int(state.step),
         "params": _to_host(state.params),
@@ -43,16 +39,68 @@ def save_checkpoint(out_dir: str, state, epoch: int, perf: float,
         "perf": float(perf),
         "best_perf": float(perf if best_perf is None else best_perf),
     }
+
+
+def _atomic_write(path: str, data: bytes) -> None:
+    """tmp + os.replace: a crash mid-write can never corrupt the resume
+    point (the previous checkpoint stays intact until the rename)."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
+def _write_payload(out_dir: str, payload: dict, is_best: bool) -> str:
+    os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, CKPT_NAME)
-    with open(path, "wb") as f:
-        f.write(serialization.msgpack_serialize(payload))
+    _atomic_write(path, serialization.msgpack_serialize(payload))
     if is_best:
         best = {"params": payload["params"],
                 "batch_stats": payload["batch_stats"],
-                "perf": float(perf), "epoch": epoch}
-        with open(os.path.join(out_dir, BEST_NAME), "wb") as f:
-            f.write(serialization.msgpack_serialize(best))
+                "perf": payload["perf"], "epoch": payload["epoch"]}
+        _atomic_write(os.path.join(out_dir, BEST_NAME),
+                      serialization.msgpack_serialize(best))
     return path
+
+
+def save_checkpoint(out_dir: str, state, epoch: int, perf: float,
+                    is_best: bool, best_perf: float | None = None) -> str:
+    """state: core.train.TrainState. Returns the checkpoint path.
+
+    ``perf`` is THIS epoch's metric (0.0 on epochs that didn't validate);
+    ``best_perf`` is the running best, persisted separately so a resumed run
+    never overwrites ``model_best`` with a worse model (the reference stores
+    the running best too — ADVICE round-2)."""
+    return _write_payload(out_dir, _snapshot(state, epoch, perf, best_perf),
+                          is_best)
+
+
+class AsyncCheckpointer:
+    """Checkpointing with the serialize+write moved off the train loop
+    (TRAIN.ASYNC_CHECKPOINT). The device->host snapshot stays synchronous
+    (donation — see ``_snapshot``); msgpack encoding + the filesystem write
+    (seconds for sub-GB checkpoints, worse on network filesystems) overlap
+    the next epoch. At most one write is in flight — ``save`` joins the
+    previous one first, so on-disk checkpoints are always ordered and
+    ``wait()`` at the end of ``fit`` guarantees durability of the last."""
+
+    def __init__(self):
+        from concurrent.futures import ThreadPoolExecutor
+        self._pool = ThreadPoolExecutor(1, thread_name_prefix="ckpt")
+        self._pending = None
+
+    def save(self, out_dir: str, state, epoch: int, perf: float,
+             is_best: bool, best_perf: float | None = None) -> None:
+        payload = _snapshot(state, epoch, perf, best_perf)
+        self.wait()
+        self._pending = self._pool.submit(_write_payload, out_dir, payload,
+                                          is_best)
+
+    def wait(self):
+        """Join the in-flight write (re-raises its exception, if any)."""
+        if self._pending is not None:
+            pending, self._pending = self._pending, None
+            pending.result()
 
 
 def load_checkpoint(path: str, state) -> Tuple[Any, int, float]:

@@ -92,6 +92,51 @@ def test_resume_restores_running_best_not_epoch_perf(tmp_path):
     assert e == 10 and p == pytest.approx(0.73)
 
 
+def test_async_checkpointer_matches_sync_bytes(tmp_path):
+    """AsyncCheckpointer writes byte-identical files to save_checkpoint
+    (same payload, same serialization) — only the thread that does the
+    serialize+write differs."""
+    from rsgnet_tpu.utils.checkpoint import AsyncCheckpointer
+    cfg = tiny_rsgnet()
+    _, state = make_state(cfg)
+    sync_dir, async_dir = str(tmp_path / "sync"), str(tmp_path / "async")
+    save_checkpoint(sync_dir, state, epoch=2, perf=0.5, is_best=True,
+                    best_perf=0.6)
+    ck = AsyncCheckpointer()
+    ck.save(async_dir, state, epoch=2, perf=0.5, is_best=True, best_perf=0.6)
+    ck.wait()
+    for name in ("checkpoint.msgpack", "model_best.msgpack"):
+        a = open(os.path.join(sync_dir, name), "rb").read()
+        b = open(os.path.join(async_dir, name), "rb").read()
+        assert a == b, name
+    # no stray tmp files after the atomic rename
+    assert not [p for p in os.listdir(async_dir) if p.endswith(".tmp")]
+
+
+def test_fit_async_checkpoint_resumes(fixture_root, tmp_path):
+    """TRAIN.ASYNC_CHECKPOINT=true: fit() checkpoints in the background,
+    the file is durable at return, and auto-resume works from it."""
+    from rsgnet_tpu.core.function import fit
+    from rsgnet_tpu.data import get_dataset
+
+    cfg = tiny_rsgnet()
+    cfg.TRAIN.BATCH_SIZE_PER_GPU = 1
+    cfg.TRAIN.ASYNC_CHECKPOINT = True
+    out = str(tmp_path / "async_run")
+    model = get_pose_net(cfg)
+    train_ds = get_dataset(cfg, root=fixture_root, image_set="val",
+                           is_train=True)
+    train_ds.db = (train_ds.db * 3)[:8]
+    state, _ = fit(cfg, model, train_ds, val_dataset=None,
+                   output_dir=out, max_epochs=1)
+    assert os.path.exists(os.path.join(out, "checkpoint.msgpack"))
+    _, state2 = make_state(cfg)
+    state2, epoch, _ = load_checkpoint(
+        os.path.join(out, "checkpoint.msgpack"), state2)
+    assert epoch == 0
+    _tree_allclose(state.params, state2.params)
+
+
 def test_load_weights_msgpack(tmp_path):
     cfg = tiny_rsgnet()
     model, state = make_state(cfg)
