@@ -245,8 +245,6 @@ _ACCEPTED_UNREAD_KEYS = {
                            "'archive.zip@/member' paths instead",
     "DATASET.HYBRID_JOINTS_TYPE": "reference dataset option not used by the "
                                   "COCO/CrowdPose configs",
-    "DATASET.SELECT_DATA": "the reference's select_data training-sample "
-                           "filter heuristic is not implemented",
     "TRAIN.GAMMA1": "the reference defines but never reads it (Adam runs on "
                     "default betas there too)",
     "TRAIN.GAMMA2": "the reference defines but never reads it",

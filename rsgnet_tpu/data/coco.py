@@ -43,6 +43,8 @@ class COCODataset(TopDownDataset):
             self.db = self._load_gt_db()
         else:
             self.db = self._load_detection_db(cfg.TEST.COCO_BBOX_FILE)
+        if is_train and cfg.DATASET.SELECT_DATA:
+            self.db = self.select_data(self.db)
 
     def _default_image_dir(self):
         cand = os.path.join(self.root, "images", self.image_set)

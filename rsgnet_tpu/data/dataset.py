@@ -109,6 +109,30 @@ class TopDownDataset:
     def __len__(self):
         return len(self.db)
 
+    def select_data(self, db):
+        """The reference's training-sample filter (DATASET.SELECT_DATA,
+        reference ``lib/dataset/JointsDataset.py::select_data``): keep a
+        sample when the centroid of its VISIBLE joints sits close to the
+        box center, scored by a Gaussian of the squared distance over the
+        box area (ks = exp(-d² / (2·0.2²·area))) against a visibility-count
+        threshold (metric = (0.2/16)·num_vis + 0.45 − 0.2/16); samples with
+        zero visible joints are dropped. Filters out boxes whose annotation
+        is concentrated off-center (truncation/mislabels)."""
+        selected = []
+        for rec in db:
+            vis = rec["joints_vis"][:, 0] > 0
+            num_vis = int(vis.sum())
+            if num_vis == 0:
+                continue
+            joints_center = rec["joints"][vis, :2].mean(axis=0)
+            area = float(rec["scale"][0]) * float(rec["scale"][1]) * 200.0**2
+            d2 = float(((joints_center - rec["center"]) ** 2).sum())
+            ks = np.exp(-d2 / (2.0 * 0.2**2 * area))
+            metric = (0.2 / 16) * num_vis + 0.45 - 0.2 / 16
+            if ks > metric:
+                selected.append(rec)
+        return selected
+
     def shard(self, process_id: int, num_processes: int):
         """Shallow view holding this process's contiguous db slice
         (multi-host eval: each host collects predictions for its slice,

@@ -64,6 +64,8 @@ class MPIIDataset(TopDownDataset):
             root, "annot", f"{image_set}.json")
         self.image_dir = image_dir or os.path.join(root, "images")
         self.db = self._load_db()
+        if is_train and cfg.DATASET.SELECT_DATA:
+            self.db = self.select_data(self.db)
 
     def _load_db(self):
         with open(self.ann_file) as f:

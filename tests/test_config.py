@@ -168,7 +168,11 @@ def test_unread_reference_keys_warn():
     from rsgnet_tpu.config.defaults import Config, update_config
     with pytest.warns(UserWarning, match="read nowhere"):
         update_config(Config(), {"TRAIN": {"GAMMA1": 0.5}})
-    with pytest.warns(UserWarning, match="read nowhere"):
+    # SELECT_DATA graduated from accepted-unread to implemented (the
+    # reference's training-sample filter) — it must NOT warn anymore
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
         update_config(Config(), {"DATASET": {"SELECT_DATA": True}})
     # GPUS selects DataParallel devices in the reference; here JAX shards
     # over all local devices, so a non-default pin must not pass silently

@@ -195,6 +195,50 @@ def test_validate_deterministic(fixture_root):
     assert dict(nv1) == dict(nv2)
 
 
+def test_select_data_filter(fixture_root):
+    """DATASET.SELECT_DATA (reference JointsDataset.select_data): drops
+    zero-visible samples and samples whose visible-joint centroid is far
+    from the box center relative to the box area; keeps centered ones."""
+    cfg = make_cfg()
+    ds = build(cfg, fixture_root, is_train=True)
+    k = ds.num_joints
+
+    def rec(center, scale, joint_offset, num_vis=k):
+        joints = np.zeros((k, 3), np.float32)
+        joints[:, 0] = center[0] + joint_offset
+        joints[:, 1] = center[1]
+        vis = np.zeros((k, 3), np.float32)
+        vis[:num_vis, 0] = vis[:num_vis, 1] = 1.0
+        return {"center": np.asarray(center, np.float32),
+                "scale": np.asarray(scale, np.float32),
+                "joints": joints, "joints_vis": vis}
+
+    centered = rec((100.0, 100.0), (1.0, 1.0), joint_offset=0.0)
+    # centroid 3 box-widths off center: ks ~ exp(-9) << any metric
+    offcenter = rec((100.0, 100.0), (1.0, 1.0), joint_offset=600.0)
+    invisible = rec((100.0, 100.0), (1.0, 1.0), 0.0, num_vis=0)
+    out = ds.select_data([centered, offcenter, invisible])
+    assert len(out) == 1 and out[0] is centered
+
+    # borderline math: keep iff ks = exp(-d^2/(2*0.2^2*area)) > metric,
+    # metric = (0.2/16)*num_vis + 0.45 - 0.2/16 — verify the boundary
+    area = 200.0 ** 2
+    metric = (0.2 / 16) * k + 0.45 - 0.2 / 16
+    d_keep = np.sqrt(-2.0 * 0.2 ** 2 * area * np.log(metric * 1.1))
+    d_drop = np.sqrt(-2.0 * 0.2 ** 2 * area * np.log(metric * 0.9))
+    keep = rec((100.0, 100.0), (1.0, 1.0), joint_offset=d_keep)
+    drop = rec((100.0, 100.0), (1.0, 1.0), joint_offset=d_drop)
+    out = ds.select_data([keep, drop])
+    assert len(out) == 1 and out[0] is keep
+
+    # wiring: get_dataset applies it for train sets when the flag is on
+    cfg2 = make_cfg()
+    cfg2.DATASET.SELECT_DATA = True
+    ds2 = build(cfg2, fixture_root, is_train=True)
+    base = build(make_cfg(), fixture_root, is_train=True)
+    assert len(ds2) == len(base.select_data(base.db))
+
+
 def test_crowdpose_dataset(tmp_path):
     """CrowdPose layout + 14 joints + crowd-index AP splits."""
     import json
