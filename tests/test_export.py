@@ -49,6 +49,39 @@ def test_export_roundtrip_matches_direct_inference(tmp_path):
                                    rtol=1e-5, atol=1e-5)
 
 
+def test_export_other_families(tmp_path):
+    """The export path is model-agnostic: pose_resnet (SimpleBaseline) and
+    an MPII-spec model (16-kpt flip permutation baked into the flip-test)
+    export and serve with the same parity as the flagship."""
+    from rsgnet_tpu.config.defaults import tiny_resnet
+
+    for mutate in (lambda c: None,
+                   lambda c: setattr(c.DATASET, "DATASET", "mpii") or
+                   setattr(c.MODEL, "NUM_JOINTS", 16)):
+        cfg = tiny_resnet()
+        mutate(cfg)
+        model = get_pose_net(cfg)
+        h, w = cfg.MODEL.IMAGE_SIZE[1], cfg.MODEL.IMAGE_SIZE[0]
+        variables = model.init(jax.random.PRNGKey(1),
+                               jnp.zeros((1, h, w, 3), jnp.float32),
+                               train=False)
+        served = load_exported(export_inference(cfg, model, variables))
+        direct = make_inference_fn(cfg, model)
+        rng = np.random.RandomState(2)
+        images = jnp.asarray(rng.uniform(-2, 2, (3, h, w, 3))
+                             .astype(np.float32))
+        centers = jnp.asarray(rng.uniform(100, 300, (3, 2))
+                              .astype(np.float32))
+        scales = jnp.asarray(rng.uniform(0.8, 1.4, (3, 2))
+                             .astype(np.float32))
+        p0, m0 = direct(variables, images, centers, scales)
+        p1, m1 = served(images, centers, scales)
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p0),
+                                   rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(m1), np.asarray(m0),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_export_multi_platform_from_cpu():
     """platforms=("cpu","tpu"): a CI host without a TPU can build ONE
     artifact deployable on both (jax.export cross-platform lowering)."""
