@@ -22,6 +22,7 @@ import sys
 
 import jax
 import numpy as np
+import pytest
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from rsgnet_tpu.core.train import create_train_state, make_train_step
@@ -93,6 +94,12 @@ def _run_workers(worker, extra_args, tag):
     return seen
 
 
+@pytest.mark.skipif(
+    not os.environ.get("RSGNET_SLOW_TESTS"),
+    reason="the fit() variant below runs the same 2-process topology "
+           "through the WHOLE user path (raw step included) — this "
+           "raw-step-only check adds ~6.5 min for a subset of that "
+           "coverage; set RSGNET_SLOW_TESTS=1 to run both")
 def test_two_process_dp_matches_single_process():
     seen = _run_workers(WORKER, [], "LOSSES")
     # identical across processes — one SPMD program
