@@ -138,6 +138,10 @@ class TrainConfig:
     #             map and labels, MXU/VPU-only sampling; the interpolation
     #             footprint is a sheared bilinear, so rotated samples differ
     #             slightly from cv2 filtering (exact at rot 0/90/flips).
+    # "pallas"  = the same two-pass warp fused into ONE Pallas kernel
+    #             (ops/pallas/shear_warp.py): bit-identical outputs to
+    #             "shear", whole warp in VMEM — removes the multi-stage
+    #             HBM latency floor (CPU backend runs it interpreted).
     WARP: str = "shear"
     # TPU-native addition: serialize+write checkpoints in a background
     # thread (the device->host snapshot stays synchronous — the train step

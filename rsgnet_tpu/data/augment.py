@@ -140,8 +140,15 @@ def augment_batch(key, images, joints, joints_vis, centers, scales,
 
     # warp backend: the roll-decomposed shear warp replaces the 4-tap gather
     # (the round-1 train-step bottleneck — BENCH_NOTES.md) on square source
-    # canvases; non-square sources or TRAIN.WARP="gather" use the exact gather.
-    if cfg.TRAIN.WARP == "shear" and src_h == src_w:
+    # canvases; "pallas" fuses the whole two-pass warp into ONE kernel
+    # (bit-identical outputs, removes the XLA path's multi-stage latency
+    # floor — ops/pallas/shear_warp.py); non-square sources or
+    # TRAIN.WARP="gather" use the exact gather.
+    if cfg.TRAIN.WARP == "pallas" and src_h == src_w:
+        from rsgnet_tpu.ops.pallas.shear_warp import shear_warp_pallas
+        inputs = shear_warp_pallas(jnp.asarray(images), total_trans,
+                                   tuple(image_size))
+    elif cfg.TRAIN.WARP == "shear" and src_h == src_w:
         inputs = shear_warp_batch(jnp.asarray(images), total_trans, image_size)
     else:
         inputs = affine_warp_batch(jnp.asarray(images), total_trans, image_size)

@@ -179,19 +179,18 @@ def _resample_pass(x, p, s, axis, out_n):
     return out
 
 
-def shear_warp_batch(images, trans, out_size):
-    """Gather-free batched affine warp, exact vs ``affine_warp_batch``.
+def shear_prepare(images, trans, out_size):
+    """Frame swap + per-pass sampling positions, shared by the XLA path
+    below and the fused Pallas kernel (``ops/pallas/shear_warp.py``) so the
+    two backends compute positions from literally the same code.
 
-    Args:
-      images: (N, S, S, C) SQUARE source images, any real/integer dtype.
-      trans: (N, 2, 3) src->dst affine matrices (``get_affine_transform``).
-      out_size: static (out_w, out_h).
-
-    Returns (N, out_h, out_w, C) float32, zeros outside the source.
+    Returns ``(x, (p_a, s_a), (p_b, s_b))`` where x is the (possibly
+    transposed-frame) source batch and the p/s vectors are the per-pass
+    shared-scale / per-line-shift terms described in the module docstring.
     """
     out_w, out_h = int(out_size[0]), int(out_size[1])
-    n, sh, sw = images.shape[0], images.shape[1], images.shape[2]
-    assert sh == sw, "shear_warp_batch requires square sources (pad first)"
+    sh, sw = images.shape[1], images.shape[2]
+    assert sh == sw, "shear warp requires square sources (pad first)"
     size = sh
     inv = invert_affine(jnp.asarray(trans, jnp.float32))      # (N, 2, 3)
 
@@ -214,11 +213,26 @@ def shear_warp_batch(images, trans, out_size):
     rs = jnp.arange(size, dtype=jnp.float32)
     p_a = a[:, None] * xs[None, :]                            # (N, out_w)
     s_a = bb[:, None] * rs[None, :] + cc[:, None]             # (N, S)
-    inter = _resample_pass(x, p_a, s_a, axis=2, out_n=out_w)  # (N,S,out_w,C)
 
     # ---- pass B: resample rows at V = (m11 y + m12) + m10 x
     ys = jnp.arange(out_h, dtype=jnp.float32)
     p_b = m11[:, None] * ys[None, :] + m12[:, None]           # (N, out_h)
     s_b = m10[:, None] * xs[None, :]                          # (N, out_w)
+    return x, (p_a, s_a), (p_b, s_b)
+
+
+def shear_warp_batch(images, trans, out_size):
+    """Gather-free batched affine warp, exact vs ``affine_warp_batch``.
+
+    Args:
+      images: (N, S, S, C) SQUARE source images, any real/integer dtype.
+      trans: (N, 2, 3) src->dst affine matrices (``get_affine_transform``).
+      out_size: static (out_w, out_h).
+
+    Returns (N, out_h, out_w, C) float32, zeros outside the source.
+    """
+    out_w, out_h = int(out_size[0]), int(out_size[1])
+    x, (p_a, s_a), (p_b, s_b) = shear_prepare(images, trans, out_size)
+    inter = _resample_pass(x, p_a, s_a, axis=2, out_n=out_w)  # (N,S,out_w,C)
     return _resample_pass(inter, p_b, s_b, axis=1,
                           out_n=out_h)                       # (N, out_h, out_w, C)
