@@ -186,7 +186,10 @@ def bench_train(cfg, model):
     B=128: the step is per-op-overhead-bound, so throughput rises with
     batch (B=64: 524-532, B=96: 684, B=128: 812 img/s measured round 2);
     128 fits comfortably since the uint8 roll-warp pipeline replaced the
-    fp32 gather intermediates that OOM'd round 1."""
+    fp32 gather intermediates that OOM'd round 1. Round 3: the default
+    TRAIN.WARP="auto" resolves to the fused Pallas warp on the real chip
+    (measured 1002.5 img/s @B=128 vs 806.0 on the XLA shear path —
+    BENCH_NOTES "fused Pallas shear warp")."""
     from rsgnet_tpu.core.train import create_train_state, make_train_step
     from rsgnet_tpu.data.skeletons import get_spec
 

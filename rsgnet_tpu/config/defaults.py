@@ -142,7 +142,11 @@ class TrainConfig:
     #             (ops/pallas/shear_warp.py): bit-identical outputs to
     #             "shear", whole warp in VMEM — removes the multi-stage
     #             HBM latency floor (CPU backend runs it interpreted).
-    WARP: str = "shear"
+    # "auto"    = resolve per backend at trace time: "pallas" on real TPU
+    #             (measured +24% full-train-step throughput at B=128 —
+    #             BENCH_NOTES "fused Pallas warp"), "shear" elsewhere
+    #             (interpreted Pallas is debug-speed only).
+    WARP: str = "auto"
     # TPU-native addition: serialize+write checkpoints in a background
     # thread (the device->host snapshot stays synchronous — the train step
     # donates the state buffers, so it must complete before the next step).

@@ -144,11 +144,20 @@ def augment_batch(key, images, joints, joints_vis, centers, scales,
     # (bit-identical outputs, removes the XLA path's multi-stage latency
     # floor — ops/pallas/shear_warp.py); non-square sources or
     # TRAIN.WARP="gather" use the exact gather.
-    if cfg.TRAIN.WARP == "pallas" and src_h == src_w:
+    warp = cfg.TRAIN.WARP
+    if warp == "auto":
+        # resolved at trace time: the fused kernel on real TPU (measured
+        # faster end-to-end, BENCH_NOTES "pallas warp"), the jitted XLA
+        # shear path elsewhere (interpret-mode Pallas is debug-speed only).
+        warp = "pallas" if jax.default_backend() == "tpu" else "shear"
+    if warp not in ("gather", "shear", "pallas"):
+        raise ValueError(
+            f"TRAIN.WARP={cfg.TRAIN.WARP!r}: expected auto|pallas|shear|gather")
+    if warp == "pallas" and src_h == src_w:
         from rsgnet_tpu.ops.pallas.shear_warp import shear_warp_pallas
         inputs = shear_warp_pallas(jnp.asarray(images), total_trans,
                                    tuple(image_size))
-    elif cfg.TRAIN.WARP == "shear" and src_h == src_w:
+    elif warp == "shear" and src_h == src_w:
         inputs = shear_warp_batch(jnp.asarray(images), total_trans, image_size)
     else:
         inputs = affine_warp_batch(jnp.asarray(images), total_trans, image_size)

@@ -24,7 +24,11 @@ Math and numerics are IDENTICAL to ``shear_warp_batch`` by construction:
 
 The kernel is BIT-IDENTICAL to ``jax.jit(shear_warp_batch)`` on the CPU
 backend (tests/test_pallas_shear.py asserts array equality) — the form
-every real caller compares against, since ``augment_batch`` runs under jit.
+every real caller compares against, since ``augment_batch`` runs under jit —
+AND on the real TPU chip (max |diff| 0.0 for uint8 and float sources at
+640^2->256x192 across rotations/flips, measured 2026-08-19; note this
+required fixing the XLA path's own TPU-side bf16 collapse first, see the
+cast-site ``optimization_barrier`` note in ``ops/shear_warp.py``).
 (The EAGER op-by-op ``shear_warp_batch`` differs from both by ~1e-3 on a
 0-255 scale: per-op compilation denies XLA the `a*b+c` FMA contractions the
 whole-graph compilations perform. That is a property of the eager baseline,
@@ -94,14 +98,13 @@ def _kernel(x_ref, sia_m_ref, sia_r_ref, fsa_ref, pia_m_ref, pia_r_ref,
     pia_r = pia_r_ref[0]                              # (1, out_w) int32
     fpa = fpa_ref[0]                                  # (1, out_w) f32
 
-    if int8_src:
-        # 0..255 is exact in bf16: roll + select in one bf16 component
-        comps = (_roll_left_by_bits(x.astype(jnp.bfloat16), sia_m,
-                                    axis=1, size=size),)
-    else:
-        xr = _roll_left_by_bits(x.astype(jnp.float32), sia_m,
-                                axis=1, size=size)
-        comps = _bf16_components(xr)
+    # x arrives fp32 (Mosaic restrictions: no uint8->bf16 cast in-kernel,
+    # and tpu.dynamic_rotate only handles 32-bit lanes — bf16 rolls fail to
+    # compile). Roll in fp32, cast to bf16 only at the selection matmul:
+    # for uint8 sources one bf16 component is exact (0..255), floats use
+    # the hi/mid/lo decomposition.
+    xr = _roll_left_by_bits(x, sia_m, axis=1, size=size)
+    comps = (xr.astype(jnp.bfloat16),) if int8_src else _bf16_components(xr)
 
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (size, out_w), 0)
     phi_a = fpa + fsa                                 # (S, out_w)
@@ -171,6 +174,11 @@ def shear_warp_pallas(images, trans, out_size, interpret: bool | None = None):
         interpret = jax.default_backend() == "cpu"
     x, (p_a, s_a), (p_b, s_b) = shear_prepare(images, trans, out_size)
     n, size, _, ch = x.shape
+    int8_src = (jnp.issubdtype(images.dtype, jnp.integer)
+                and images.dtype.itemsize == 1)
+    # the kernel wants fp32 lanes (32-bit rolls are the only ones Mosaic
+    # implements; in-kernel uint8 casts are unsupported) — cast outside.
+    x = x.astype(jnp.float32)
     xc = jnp.transpose(x, (0, 3, 1, 2))               # (N, C, S, S)
 
     sia_r, sia_m, fsa = _split(s_a, size)             # (N, S)
@@ -178,8 +186,6 @@ def shear_warp_pallas(images, trans, out_size, interpret: bool | None = None):
     sib_r, sib_m, fsb = _split(s_b, size)             # (N, out_w)
     pib_r, pib_m, fpb = _split(p_b, size)             # (N, out_h)
 
-    int8_src = (jnp.issubdtype(images.dtype, jnp.integer)
-                and images.dtype.itemsize == 1)
     kernel = functools.partial(_kernel, size=size, out_w=out_w,
                                out_h=out_h, int8_src=int8_src)
 

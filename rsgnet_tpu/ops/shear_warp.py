@@ -154,9 +154,17 @@ def _resample_pass(x, p, s, axis, out_n):
             taps.append(select(hot16, jnp.asarray(xj, jnp.bfloat16)))
         else:
             xf = jnp.asarray(xj, jnp.float32)
-            hi = xf.astype(jnp.bfloat16)
+            # The barriers at the CAST SITES are load-bearing on TPU: XLA's
+            # TPU simplifier folds the f32->bf16->f32 round-trip to identity,
+            # which makes the residuals r1 (and so mid/lo) EXACTLY ZERO and
+            # silently degrades the selection to bf16-quantized data
+            # (measured: dense <=0.5 errors on a 0-255 scale vs the same
+            # code on CPU, max|r1|==0 in the compiled TPU graph; with the
+            # barriers the TPU output matches CPU bit-exactly — BENCH_NOTES
+            # round-3 "fused Pallas warp" entry).
+            hi = jax.lax.optimization_barrier(xf.astype(jnp.bfloat16))
             r1 = xf - hi.astype(jnp.float32)
-            mid = r1.astype(jnp.bfloat16)
+            mid = jax.lax.optimization_barrier(r1.astype(jnp.bfloat16))
             lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
             taps.append(select(hot16, hi) + select(hot16, mid)
                         + select(hot16, lo))

@@ -117,3 +117,16 @@ def test_pallas_warp_config_path():
     np.testing.assert_array_equal(np.asarray(a.target),
                                   np.asarray(b.target))
     np.testing.assert_allclose(inputs, np.asarray(b.inputs), atol=1e-4)
+
+    # "auto" resolves per backend at trace time: shear off-TPU (this test
+    # runs on the CPU backend), pallas on real TPU. Bit-equal to the
+    # explicit choice it resolves to.
+    cfg.TRAIN.WARP = "auto"
+    c = augment_batch(key, images, joints, vis, centers, scales, cfg, spec)
+    expect = b if jax.default_backend() != "tpu" else a
+    np.testing.assert_array_equal(np.asarray(c.inputs),
+                                  np.asarray(expect.inputs))
+
+    cfg.TRAIN.WARP = "bogus"
+    with pytest.raises(ValueError, match="TRAIN.WARP"):
+        augment_batch(key, images, joints, vis, centers, scales, cfg, spec)

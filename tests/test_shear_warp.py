@@ -170,8 +170,8 @@ def test_fuzz_many_random_affines():
 
 
 def test_augment_batch_uses_shear_by_default():
-    """TRAIN.WARP='shear' routes augment through the roll warp; 'gather'
-    falls back; with rotation+flip off both agree exactly."""
+    """The default TRAIN.WARP='auto' resolves to the roll warp off-TPU;
+    'gather' falls back; with rotation+flip off both agree exactly."""
     from rsgnet_tpu.config.defaults import tiny_rsgnet
     from rsgnet_tpu.data.augment import augment_batch
     from rsgnet_tpu.data.skeletons import get_spec
@@ -181,7 +181,8 @@ def test_augment_batch_uses_shear_by_default():
     cfg.DATASET.ROT_FACTOR = 0.0
     cfg.DATASET.SCALE_FACTOR = 0.25
     cfg.DATASET.PROB_HALF_BODY = 0.0
-    assert cfg.TRAIN.WARP == "shear"
+    assert cfg.TRAIN.WARP == "auto"
+    cfg.TRAIN.WARP = "shear"
     rng = np.random.RandomState(5)
     n, s = 4, 128
     images = rng.randint(0, 256, (n, s, s, 3)).astype(np.uint8)

@@ -60,18 +60,21 @@ def main():
     timeit("gather warp 640^2 (rot)", g, [(x, t_rot) for x in imgs])
     sh = jax.jit(lambda im, t: digest(shear_warp_batch(im, t, out_size)))
     timeit("shear warp 640^2 (rot)", sh, [(x, t_rot) for x in imgs])
+    from rsgnet_tpu.ops.pallas.shear_warp import shear_warp_pallas
+    pk = jax.jit(lambda im, t: digest(shear_warp_pallas(im, t, out_size)))
+    timeit("pallas warp 640^2 (rot)", pk, [(x, t_rot) for x in imgs])
 
     joints = jnp.asarray(rng.uniform(150, 450, (B, 17, 2)).astype(np.float32))
     vis = jnp.asarray((rng.uniform(size=(B, 17)) > 0.2).astype(np.float32))
     key = jax.random.PRNGKey(0)
-    for warp in ("gather", "shear"):
+    for warp in ("gather", "shear", "pallas"):
         cfg.TRAIN.WARP = warp
         aug = jax.jit(lambda k, im, j, v, c, s: digest(augment_batch(
             k, im, j, v, c, s, cfg, spec)))
         timeit(f"augment_batch full ({warp})", aug,
                [(key, x, joints, vis, centers, scales) for x in imgs])
 
-    for warp in ("shear", "gather"):
+    for warp in ("shear", "pallas", "gather"):
         cfg.TRAIN.WARP = warp
         state = create_train_state(cfg, model, jax.random.PRNGKey(0))
         step = make_train_step(cfg, model, spec)
