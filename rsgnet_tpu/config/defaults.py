@@ -183,6 +183,26 @@ class TestConfig:
     # ThreadPool BatchLoader; "grain" = grain worker processes; cf.
     # TRAIN.LOADER)
     LOADER: str = "threads"
+    # Eval-crop warp (the rot=0 source-canvas -> model-input resample inside
+    # make_e2e_fn). All variants implement the same exact bilinear map
+    # (cv2.warpAffine INTER_LINEAR rot=0 — the decomposition footprints
+    # coincide with the axis-aligned bilinear at rot 0, and uint8 canvases
+    # select exactly):
+    # "separable" = two HIGHEST-precision MXU einsums (ops/warp.py)
+    # "shear"     = roll-decomposed two-pass (ops/shear_warp.py)
+    # "pallas"    = the two-pass warp fused in one VMEM kernel
+    #               (ops/pallas/shear_warp.py)
+    # "auto"      = currently "separable" on every backend.
+    # Default: "separable" — MEASURED on chip (tools/profile_eval_warp.py,
+    # 3 interleaved rounds @B=128, uncontended host): separable 1934-1952
+    # vs pallas 1781-1800 img/s on the whole e2e program. The fused kernel
+    # wins the warp in isolation but LOSES the composition: XLA overlaps
+    # the separable warp's stages with the flip-test forwards, while the
+    # opaque kernel serializes. (Opposite conclusion from TRAIN.WARP,
+    # where pallas wins the full step by +24% — always A/B the whole
+    # program.) All samplers agree with the gather ground truth on chip
+    # (pallas 2.3e-4, separable 7.7e-4 normalized units).
+    WARP: str = "separable"
 
 
 @dataclass

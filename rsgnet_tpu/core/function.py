@@ -153,7 +153,7 @@ def fit(cfg: Config, model, train_dataset, val_dataset=None,
     repl = NamedSharding(mesh, P())
     shard = NamedSharding(mesh, P(cfg.MESH_DATA_AXIS))
     state = jax.device_put(state, repl)
-    step_fn = make_train_step(cfg, model, spec, jit=False)
+    step_fn = make_train_step(cfg, model, spec, jit=False, mesh=mesh)
     batch_shardings = {"image": shard, "joints": shard, "joints_vis": shard,
                        "center": shard, "scale": shard}
     step_fn = jax.jit(step_fn,

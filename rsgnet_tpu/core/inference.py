@@ -94,12 +94,26 @@ def make_e2e_fn(cfg: Config, model, src_size, jit=True, mesh=None):
     use_dark = cfg.TEST.DECODE.lower() == "dark"
     image_size = tuple(cfg.MODEL.IMAGE_SIZE)       # (w, h)
 
+    warp = cfg.TEST.WARP
+    if warp == "auto":
+        # "auto" resolves to separable on EVERY backend: the fused Pallas
+        # kernel wins the warp in isolation but loses the e2e composition
+        # (XLA overlaps the separable stages with the flip-test forwards;
+        # the opaque kernel serializes — measured 1934-1952 vs 1781-1800
+        # img/s @B=128, tools/profile_eval_warp.py). Kept as an explicit
+        # option and as the symmetric API to TRAIN.WARP, where the
+        # conclusion is the opposite (+24%).
+        warp = "separable"
+    if warp not in ("separable", "shear", "pallas", "gather"):
+        raise ValueError(f"TEST.WARP={cfg.TEST.WARP!r}: expected "
+                         "auto|separable|shear|pallas|gather")
+
     def fn(variables, raw_images, centers, scales):
         rot = jnp.zeros(centers.shape[0], jnp.float32)
         trans = get_affine_transform_jax(centers, scales, rot, image_size)
-        # eval crops are rotation-free -> the separable MXU sampler applies
-        inputs = crop_and_normalize(raw_images, trans, image_size,
-                                    separable=True)
+        # eval crops are rotation-free -> every sampler is exact-footprint
+        inputs = crop_and_normalize(raw_images, trans, image_size, warp=warp,
+                                    mesh=mesh, data_axis=cfg.MESH_DATA_AXIS)
         apply_fn = lambda v, x: model.apply(v, x, train=False)
         output = heatmaps_with_flip_test(apply_fn, variables, inputs, cfg, perm)
         preds, maxvals = get_final_preds_jax(

@@ -73,11 +73,16 @@ def create_train_state(cfg: Config, model, rng, steps_per_epoch: int = 1000):
 
 
 def make_train_step(cfg: Config, model, spec: KeypointSpec, jit=True,
-                    donate=True):
+                    donate=True, mesh=None):
     """Raw batch -> aug -> forward -> loss -> update. Returns (state, metrics).
 
     batch dict keys: 'image' (N, Hs, Ws, 3), 'joints' (N, K, 2),
     'joints_vis' (N, K), 'center' (N, 2), 'scale' (N, 2).
+
+    mesh: pass the data mesh when the step runs batch-sharded over multiple
+    devices — the "pallas" warp needs it to shard_map its kernel (a
+    pallas_call is opaque to the SPMD partitioner and would otherwise
+    all-gather the image batch; ops/pallas/shear_warp.py).
     """
     loss_fn_inner = make_loss(cfg)
     is_rsg = cfg.MODEL.RSG.ENABLED or cfg.MODEL.NAME == "pose_rsgnet"
@@ -85,7 +90,7 @@ def make_train_step(cfg: Config, model, spec: KeypointSpec, jit=True,
     def step(state: TrainState, batch, rng):
         aug = augment_batch(rng, batch["image"], batch["joints"],
                             batch["joints_vis"], batch["center"],
-                            batch["scale"], cfg, spec)
+                            batch["scale"], cfg, spec, mesh=mesh)
 
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}

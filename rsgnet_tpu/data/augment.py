@@ -87,7 +87,7 @@ def _half_body(key, joints, vis, spec: KeypointSpec, aspect_ratio,
 
 
 def augment_batch(key, images, joints, joints_vis, centers, scales,
-                  cfg: Config, spec: KeypointSpec):
+                  cfg: Config, spec: KeypointSpec, mesh=None):
     """The fused train-time preprocessing kernel.
 
     Args:
@@ -96,6 +96,10 @@ def augment_batch(key, images, joints, joints_vis, centers, scales,
       joints: (N, K, 2) gt keypoints in source-image pixels.
       joints_vis: (N, K) visibility in {0, 1}.
       centers, scales: (N, 2) detection-box center/scale (pixel_std 200).
+      mesh: the data mesh when this runs batch-sharded (multi-device fit);
+        needed by the "pallas" warp only — a pallas_call is opaque to the
+        SPMD partitioner and must be shard_map'd over the data axis
+        (ops/pallas/shear_warp.py::shear_warp_pallas_dp).
 
     Returns AugBatch (all on device, all static shapes).
     """
@@ -154,9 +158,10 @@ def augment_batch(key, images, joints, joints_vis, centers, scales,
         raise ValueError(
             f"TRAIN.WARP={cfg.TRAIN.WARP!r}: expected auto|pallas|shear|gather")
     if warp == "pallas" and src_h == src_w:
-        from rsgnet_tpu.ops.pallas.shear_warp import shear_warp_pallas
-        inputs = shear_warp_pallas(jnp.asarray(images), total_trans,
-                                   tuple(image_size))
+        from rsgnet_tpu.ops.pallas.shear_warp import shear_warp_pallas_dp
+        inputs = shear_warp_pallas_dp(jnp.asarray(images), total_trans,
+                                      tuple(image_size), mesh=mesh,
+                                      axis=cfg.MESH_DATA_AXIS)
     elif warp == "shear" and src_h == src_w:
         inputs = shear_warp_batch(jnp.asarray(images), total_trans, image_size)
     else:

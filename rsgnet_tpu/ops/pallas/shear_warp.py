@@ -227,3 +227,31 @@ def shear_warp_pallas(images, trans, out_size, interpret: bool | None = None):
       row(sib_m), row(sib_r), row(fsb),
       col(pib_m), col(pib_r), col(fpb))
     return jnp.transpose(out, (0, 2, 3, 1))           # (N, out_h, out_w, C)
+
+
+def shear_warp_pallas_dp(images, trans, out_size, mesh=None, axis="data",
+                         interpret: bool | None = None):
+    """``shear_warp_pallas`` made safe under a multi-device mesh.
+
+    A ``pallas_call`` is OPAQUE to the SPMD partitioner: under plain
+    ``jit(..., in_shardings=...)`` on an 8-device mesh the compiled program
+    ALL-GATHERS the full image batch to every device before the kernel
+    (measured: 107 all-gather ops), silently destroying data parallelism.
+    Wrapping the call in ``jax.shard_map`` over the data axis maps the
+    kernel per shard instead — the compiled program has ZERO collectives
+    (asserted in tests/test_eval_warp.py). The warp is per-sample, so the
+    manual mapping is trivially correct; per-shard compilation may round
+    the fp32 position math differently from the unsharded program (~2e-3
+    on a 0-255 scale — the same order as the separable warp's documented
+    parity to the gather sampler).
+
+    mesh=None or a 1-device mesh falls through to the plain kernel.
+    """
+    if mesh is None or mesh.size == 1:
+        return shear_warp_pallas(images, trans, out_size, interpret)
+    from jax.sharding import PartitionSpec as P
+    fn = jax.shard_map(
+        lambda im, t: shear_warp_pallas(im, t, tuple(out_size), interpret),
+        mesh=mesh, in_specs=(P(axis), P(axis)), out_specs=P(axis),
+        check_vma=False)
+    return fn(images, trans)

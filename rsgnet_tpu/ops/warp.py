@@ -156,7 +156,8 @@ def normalize_image(image, mean=IMAGENET_MEAN, std=IMAGENET_STD):
     return (image / 255.0 - mean) / std
 
 
-def crop_and_normalize(images, trans, out_size, flip=None, separable=False):
+def crop_and_normalize(images, trans, out_size, flip=None, separable=False,
+                       warp=None, mesh=None, data_axis="data"):
     """The fused preprocessing kernel: warp -> (optional hflip) -> normalize.
 
     Args:
@@ -168,12 +169,36 @@ def crop_and_normalize(images, trans, out_size, flip=None, separable=False):
         flip-test inference where the unflipped crop is also needed.)
       separable: use the MXU matmul sampler — valid ONLY for rotation-free
         transforms (all eval crops); much faster than the gather on TPU.
+      warp: explicit sampler choice overriding ``separable``: "gather" |
+        "separable" | "shear" | "pallas" (cf. TEST.WARP). "shear"/"pallas"
+        require a square source and fall back to "separable" otherwise
+        (both are exact-footprint at rot=0, the only case eval produces).
+      mesh/data_axis: the data mesh when this runs batch-sharded — needed
+        by the "pallas" sampler only (a pallas_call is opaque to the SPMD
+        partitioner; see ``shear_warp_pallas_dp``).
 
     Returns:
       (N, out_h, out_w, 3) float32 normalized inputs.
     """
-    warp = separable_warp_batch if separable else affine_warp_batch
-    crops = warp(jnp.asarray(images), trans, out_size)
+    if warp is None:
+        warp = "separable" if separable else "gather"
+    if warp in ("shear", "pallas") and images.shape[1] != images.shape[2]:
+        warp = "separable"      # the shear decomposition needs a square src
+    if warp == "pallas":
+        from rsgnet_tpu.ops.pallas.shear_warp import shear_warp_pallas_dp
+        crops = shear_warp_pallas_dp(jnp.asarray(images), trans,
+                                     tuple(out_size), mesh=mesh,
+                                     axis=data_axis)
+    elif warp == "shear":
+        from rsgnet_tpu.ops.shear_warp import shear_warp_batch
+        crops = shear_warp_batch(jnp.asarray(images), trans, out_size)
+    elif warp == "separable":
+        crops = separable_warp_batch(jnp.asarray(images), trans, out_size)
+    elif warp == "gather":
+        crops = affine_warp_batch(jnp.asarray(images), trans, out_size)
+    else:
+        raise ValueError(f"warp={warp!r}: expected "
+                         "gather|separable|shear|pallas")
     if flip is not None:
         flipped = crops[:, :, ::-1, :]
         crops = jnp.where(flip[:, None, None, None], flipped, crops)
