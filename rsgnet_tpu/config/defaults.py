@@ -142,10 +142,14 @@ class TrainConfig:
     #             (ops/pallas/shear_warp.py): bit-identical outputs to
     #             "shear", whole warp in VMEM — removes the multi-stage
     #             HBM latency floor (CPU backend runs it interpreted).
-    # "auto"    = resolve per backend at trace time: "pallas" on real TPU
-    #             (measured +24% full-train-step throughput at B=128 —
-    #             BENCH_NOTES "fused Pallas warp"), "shear" elsewhere
-    #             (interpreted Pallas is debug-speed only).
+    # "auto"    = resolve at trace time (ops/warp.py::resolve_train_warp):
+    #             "pallas" on real TPU (measured +24% full-train-step
+    #             throughput at B=128 — BENCH_NOTES "fused Pallas warp")
+    #             when it is partitioner-safe (single device, or the data
+    #             mesh threaded through make_train_step); "shear" elsewhere
+    #             (interpreted Pallas is debug-speed only, and a pallas_call
+    #             without the mesh would silently all-gather the sharded
+    #             image batch on a multi-device host).
     WARP: str = "auto"
     # TPU-native addition: serialize+write checkpoints in a background
     # thread (the device->host snapshot stays synchronous — the train step

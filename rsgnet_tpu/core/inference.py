@@ -26,7 +26,7 @@ from rsgnet_tpu.data.skeletons import get_spec
 from rsgnet_tpu.ops.affine import get_affine_transform_jax
 from rsgnet_tpu.ops.decode import get_final_preds_jax
 from rsgnet_tpu.ops.flip import flip_back_jax
-from rsgnet_tpu.ops.warp import crop_and_normalize
+from rsgnet_tpu.ops.warp import crop_and_normalize, resolve_eval_warp
 
 
 def heatmaps_with_flip_test(apply_fn, variables, images, cfg: Config, perm,
@@ -94,19 +94,10 @@ def make_e2e_fn(cfg: Config, model, src_size, jit=True, mesh=None):
     use_dark = cfg.TEST.DECODE.lower() == "dark"
     image_size = tuple(cfg.MODEL.IMAGE_SIZE)       # (w, h)
 
-    warp = cfg.TEST.WARP
-    if warp == "auto":
-        # "auto" resolves to separable on EVERY backend: the fused Pallas
-        # kernel wins the warp in isolation but loses the e2e composition
-        # (XLA overlaps the separable stages with the flip-test forwards;
-        # the opaque kernel serializes — measured 1934-1952 vs 1781-1800
-        # img/s @B=128, tools/profile_eval_warp.py). Kept as an explicit
-        # option and as the symmetric API to TRAIN.WARP, where the
-        # conclusion is the opposite (+24%).
-        warp = "separable"
-    if warp not in ("separable", "shear", "pallas", "gather"):
-        raise ValueError(f"TEST.WARP={cfg.TEST.WARP!r}: expected "
-                         "auto|separable|shear|pallas|gather")
+    # "auto" -> "separable" (the measured e2e winner); the shared resolver
+    # in ops/warp.py is the single source of truth for the option set and
+    # carries the full measurement note.
+    warp = resolve_eval_warp(cfg.TEST.WARP, name="TEST.WARP")
 
     def fn(variables, raw_images, centers, scales):
         rot = jnp.zeros(centers.shape[0], jnp.float32)

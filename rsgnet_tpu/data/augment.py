@@ -29,7 +29,8 @@ from rsgnet_tpu.ops.affine import (affine_transform_jax,
                                    get_affine_transform_jax)
 from rsgnet_tpu.ops.heatmap import generate_target_jax
 from rsgnet_tpu.ops.shear_warp import shear_warp_batch
-from rsgnet_tpu.ops.warp import affine_warp_batch, normalize_image
+from rsgnet_tpu.ops.warp import (affine_warp_batch, normalize_image,
+                                 resolve_train_warp)
 
 
 class AugBatch(NamedTuple):
@@ -148,15 +149,11 @@ def augment_batch(key, images, joints, joints_vis, centers, scales,
     # (bit-identical outputs, removes the XLA path's multi-stage latency
     # floor — ops/pallas/shear_warp.py); non-square sources or
     # TRAIN.WARP="gather" use the exact gather.
-    warp = cfg.TRAIN.WARP
-    if warp == "auto":
-        # resolved at trace time: the fused kernel on real TPU (measured
-        # faster end-to-end, BENCH_NOTES "pallas warp"), the jitted XLA
-        # shear path elsewhere (interpret-mode Pallas is debug-speed only).
-        warp = "pallas" if jax.default_backend() == "tpu" else "shear"
-    if warp not in ("gather", "shear", "pallas"):
-        raise ValueError(
-            f"TRAIN.WARP={cfg.TRAIN.WARP!r}: expected auto|pallas|shear|gather")
+    # "auto" resolves at trace time: the fused kernel on real TPU when it
+    # is partitioner-safe (single device, or the caller threaded the data
+    # mesh through), the jitted XLA shear path elsewhere — the shared
+    # resolver in ops/warp.py documents the full decision table.
+    warp = resolve_train_warp(cfg.TRAIN.WARP, mesh=mesh)
     if warp == "pallas" and src_h == src_w:
         from rsgnet_tpu.ops.pallas.shear_warp import shear_warp_pallas_dp
         inputs = shear_warp_pallas_dp(jnp.asarray(images), total_trans,

@@ -248,7 +248,7 @@ def shear_warp_pallas_dp(images, trans, out_size, mesh=None, axis="data",
     mesh=None or a 1-device mesh falls through to the plain kernel.
     """
     if mesh is None or mesh.size == 1:
-        return shear_warp_pallas(images, trans, out_size, interpret)
+        return shear_warp_pallas(images, trans, tuple(out_size), interpret)
     from jax.sharding import PartitionSpec as P
     fn = jax.shard_map(
         lambda im, t: shear_warp_pallas(im, t, tuple(out_size), interpret),

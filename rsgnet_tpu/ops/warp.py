@@ -144,6 +144,53 @@ def separable_warp_batch(images, trans, out_size):
                       precision=jax.lax.Precision.HIGHEST)
 
 
+def resolve_train_warp(warp, mesh=None, name="TRAIN.WARP"):
+    """Resolve a TRAIN.WARP value (incl. "auto") to a concrete sampler name.
+
+    The single source of truth for the train-side option set — shared by
+    ``data/augment.py`` and the profiling tools so the accepted values
+    cannot drift between call sites.
+
+    "auto" picks the fused Pallas kernel only where it is BOTH the measured
+    winner (real TPU backend — BENCH_NOTES "fused Pallas shear warp", +24%
+    full-step at B=128) AND partitioner-safe without caller cooperation: a
+    ``pallas_call`` is opaque to the SPMD partitioner, so on a multi-device
+    host the kernel is only safe when the caller threads the data mesh
+    through (``shear_warp_pallas_dp`` shard_maps it per shard). With
+    ``mesh=None`` on a multi-device host, "auto" therefore resolves to the
+    XLA shear path instead of risking a silent full-batch all-gather; an
+    explicit ``TRAIN.WARP="pallas"`` still honors the user's choice (the
+    hazard is documented on ``shear_warp_pallas_dp``).
+    """
+    if warp == "auto":
+        if jax.default_backend() == "tpu" and (
+                mesh is not None or jax.device_count() == 1):
+            return "pallas"
+        return "shear"
+    if warp not in ("gather", "shear", "pallas"):
+        raise ValueError(
+            f"{name}={warp!r}: expected auto|pallas|shear|gather")
+    return warp
+
+
+def resolve_eval_warp(warp, name="warp"):
+    """Resolve a TEST.WARP value (incl. "auto") to a concrete sampler name.
+
+    "auto" resolves to "separable" on EVERY backend: the fused Pallas
+    kernel wins the warp in isolation but loses the e2e composition (XLA
+    overlaps the separable stages with the flip-test forwards; the opaque
+    kernel serializes — measured 1934-1952 vs 1781-1800 img/s @B=128,
+    tools/profile_eval_warp.py). Kept as an explicit option and as the
+    symmetric API to TRAIN.WARP, where the conclusion is the opposite.
+    """
+    if warp == "auto":
+        return "separable"
+    if warp not in ("gather", "separable", "shear", "pallas"):
+        raise ValueError(f"{name}={warp!r}: expected "
+                         "auto|separable|shear|pallas|gather")
+    return warp
+
+
 # ImageNet normalization constants used by the whole HRNet family (RGB).
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
@@ -169,10 +216,11 @@ def crop_and_normalize(images, trans, out_size, flip=None, separable=False,
         flip-test inference where the unflipped crop is also needed.)
       separable: use the MXU matmul sampler — valid ONLY for rotation-free
         transforms (all eval crops); much faster than the gather on TPU.
-      warp: explicit sampler choice overriding ``separable``: "gather" |
-        "separable" | "shear" | "pallas" (cf. TEST.WARP). "shear"/"pallas"
-        require a square source and fall back to "separable" otherwise
-        (both are exact-footprint at rot=0, the only case eval produces).
+      warp: explicit sampler choice overriding ``separable``: any TEST.WARP
+        value — "auto" | "gather" | "separable" | "shear" | "pallas"
+        (resolved via ``resolve_eval_warp``). "shear"/"pallas" require a
+        square source and fall back to "separable" otherwise (both are
+        exact-footprint at rot=0, the only case eval produces).
       mesh/data_axis: the data mesh when this runs batch-sharded — needed
         by the "pallas" sampler only (a pallas_call is opaque to the SPMD
         partitioner; see ``shear_warp_pallas_dp``).
@@ -182,6 +230,8 @@ def crop_and_normalize(images, trans, out_size, flip=None, separable=False,
     """
     if warp is None:
         warp = "separable" if separable else "gather"
+    else:
+        warp = resolve_eval_warp(warp)
     if warp in ("shear", "pallas") and images.shape[1] != images.shape[2]:
         warp = "separable"      # the shear decomposition needs a square src
     if warp == "pallas":
@@ -194,11 +244,8 @@ def crop_and_normalize(images, trans, out_size, flip=None, separable=False,
         crops = shear_warp_batch(jnp.asarray(images), trans, out_size)
     elif warp == "separable":
         crops = separable_warp_batch(jnp.asarray(images), trans, out_size)
-    elif warp == "gather":
+    else:                       # "gather" — resolve_eval_warp validated
         crops = affine_warp_batch(jnp.asarray(images), trans, out_size)
-    else:
-        raise ValueError(f"warp={warp!r}: expected "
-                         "gather|separable|shear|pallas")
     if flip is not None:
         flipped = crops[:, :, ::-1, :]
         crops = jnp.where(flip[:, None, None, None], flipped, crops)

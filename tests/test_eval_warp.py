@@ -128,8 +128,8 @@ def test_e2e_fn_pallas_on_mesh_zero_collectives():
     mesh = make_mesh(8)
     fn = make_e2e_fn(cfg, model, (imgs.shape[1], imgs.shape[2]), mesh=mesh)
     hlo = fn.lower(variables, imgs, centers, scales).compile().as_text()
-    for coll in ("all-gather", "all-to-all", "collective-permute",
-                 "reduce-scatter"):
+    for coll in ("all-reduce", "all-gather", "all-to-all",
+                 "collective-permute", "reduce-scatter"):
         assert hlo.count(coll) == 0, (coll, hlo.count(coll))
     p, _ = fn(variables, imgs, centers, scales)
     assert np.isfinite(np.asarray(p)).all()
@@ -172,3 +172,40 @@ def test_train_step_pallas_on_mesh_runs():
     assert hlo.count("all-gather") == 0, hlo.count("all-gather")
     new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_resolve_warp_shared_helpers(monkeypatch):
+    """ops/warp.py's resolvers are the single source of truth for the warp
+    option sets (review finding: three call sites had drifted — e.g.
+    crop_and_normalize rejected the documented TEST.WARP value "auto")."""
+    from rsgnet_tpu.ops import warp as warp_mod
+
+    # eval: "auto" -> separable everywhere; bad values raise with the
+    # caller-supplied option name in the message.
+    assert warp_mod.resolve_eval_warp("auto") == "separable"
+    assert warp_mod.resolve_eval_warp("pallas") == "pallas"
+    with pytest.raises(ValueError, match="TEST.WARP"):
+        warp_mod.resolve_eval_warp("bogus", name="TEST.WARP")
+
+    # crop_and_normalize accepts every TEST.WARP value, incl. "auto"
+    # (regression: tools/profile_eval_warp.py --warps auto used to crash).
+    imgs, _, _, trans = _eval_batch(n=2)
+    a = np.asarray(crop_and_normalize(imgs, trans, OUT, warp="auto"))
+    b = np.asarray(crop_and_normalize(imgs, trans, OUT, warp="separable"))
+    np.testing.assert_array_equal(a, b)
+
+    # train: "auto" picks pallas ONLY where it is partitioner-safe — on the
+    # TPU backend with a threaded mesh or a single device; a forgotten mesh
+    # on a multi-device host falls back to the SPMD-safe shear path instead
+    # of silently all-gathering the sharded image batch.
+    monkeypatch.setattr(warp_mod.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(warp_mod.jax, "device_count", lambda: 8)
+    assert warp_mod.resolve_train_warp("auto") == "shear"
+    assert warp_mod.resolve_train_warp("auto", mesh=object()) == "pallas"
+    monkeypatch.setattr(warp_mod.jax, "device_count", lambda: 1)
+    assert warp_mod.resolve_train_warp("auto") == "pallas"
+    monkeypatch.setattr(warp_mod.jax, "default_backend", lambda: "cpu")
+    assert warp_mod.resolve_train_warp("auto", mesh=object()) == "shear"
+    assert warp_mod.resolve_train_warp("gather") == "gather"
+    with pytest.raises(ValueError, match="TRAIN.WARP"):
+        warp_mod.resolve_train_warp("bogus")

@@ -50,7 +50,9 @@ def main():
     repl = NamedSharding(mesh, P())
     state = create_train_state(cfg, model, jax.random.PRNGKey(0))
     state = jax.device_put(state, repl)
-    step = make_train_step(cfg, model, spec, jit=False)
+    # mesh= keeps the "pallas" warp partitioner-safe if TRAIN.WARP ever
+    # resolves to it here (shard_map'd per shard; ops/pallas/shear_warp.py)
+    step = make_train_step(cfg, model, spec, jit=False, mesh=mesh)
     step = jax.jit(step, in_shardings=(repl, None, repl),
                    donate_argnums=(0,))
 
