@@ -144,12 +144,12 @@ class TrainConfig:
     #             HBM latency floor (CPU backend runs it interpreted).
     # "auto"    = resolve at trace time (ops/warp.py::resolve_train_warp):
     #             "pallas" on real TPU (measured +24% full-train-step
-    #             throughput at B=128 — BENCH_NOTES "fused Pallas warp")
-    #             when it is partitioner-safe (single device, or the data
-    #             mesh threaded through make_train_step); "shear" elsewhere
-    #             (interpreted Pallas is debug-speed only, and a pallas_call
-    #             without the mesh would silently all-gather the sharded
-    #             image batch on a multi-device host).
+    #             throughput at B=128 — BENCH_NOTES "fused Pallas warp"),
+    #             "shear" elsewhere (interpreted Pallas is debug-speed
+    #             only). The kernel is SPMD-safe in every calling
+    #             convention — shard_map'd when the data mesh is threaded
+    #             through make_train_step, custom_partitioning-wrapped
+    #             when it is not — so "auto" no longer gates on mesh.
     WARP: str = "auto"
     # TPU-native addition: serialize+write checkpoints in a background
     # thread (the device->host snapshot stays synchronous — the train step

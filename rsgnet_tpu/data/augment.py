@@ -97,9 +97,9 @@ def augment_batch(key, images, joints, joints_vis, centers, scales,
       joints: (N, K, 2) gt keypoints in source-image pixels.
       joints_vis: (N, K) visibility in {0, 1}.
       centers, scales: (N, 2) detection-box center/scale (pixel_std 200).
-      mesh: the data mesh when this runs batch-sharded (multi-device fit);
-        needed by the "pallas" warp only — a pallas_call is opaque to the
-        SPMD partitioner and must be shard_map'd over the data axis
+      mesh: optional explicit data mesh for the "pallas" warp (shard_maps
+        the kernel per shard). With mesh=None the kernel stays SPMD-safe
+        on multi-device hosts via its custom_partitioning wrapper
         (ops/pallas/shear_warp.py::shear_warp_pallas_dp).
 
     Returns AugBatch (all on device, all static shapes).
@@ -149,10 +149,11 @@ def augment_batch(key, images, joints, joints_vis, centers, scales,
     # (bit-identical outputs, removes the XLA path's multi-stage latency
     # floor — ops/pallas/shear_warp.py); non-square sources or
     # TRAIN.WARP="gather" use the exact gather.
-    # "auto" resolves at trace time: the fused kernel on real TPU when it
-    # is partitioner-safe (single device, or the caller threaded the data
-    # mesh through), the jitted XLA shear path elsewhere — the shared
-    # resolver in ops/warp.py documents the full decision table.
+    # "auto" resolves at trace time: the fused kernel on real TPU, the
+    # jitted XLA shear path elsewhere. The kernel is partitioner-safe in
+    # every calling convention — shard_map'd when mesh= is threaded,
+    # custom_partitioning-wrapped when it is not — so the resolver no
+    # longer gates on mesh (ops/warp.py::resolve_train_warp).
     warp = resolve_train_warp(cfg.TRAIN.WARP, mesh=mesh)
     if warp == "pallas" and src_h == src_w:
         from rsgnet_tpu.ops.pallas.shear_warp import shear_warp_pallas_dp

@@ -229,25 +229,89 @@ def shear_warp_pallas(images, trans, out_size, interpret: bool | None = None):
     return jnp.transpose(out, (0, 2, 3, 1))           # (N, out_h, out_w, C)
 
 
+@functools.lru_cache(maxsize=None)
+def _partitioned_warp(out_size, interpret):
+    """``shear_warp_pallas`` wrapped in ``jax.experimental
+    .custom_partitioning`` — the partitioner-aware form that needs NO
+    caller-threaded mesh.
+
+    A ``pallas_call`` is opaque to the SPMD partitioner; this wrapper
+    teaches the partitioner the op's data layout instead: the batch (and
+    channel) dimensions are passthrough factors, every spatial/matrix
+    dimension must be replicated (each program needs its whole square
+    source image). Under ``jit`` with batch-sharded operands the compiled
+    program then runs the kernel per shard with ZERO collectives —
+    verified for both the shardy rule (`sharding_rule`, the default
+    partitioner here) and the GSPMD callbacks (tests/test_eval_warp.py
+    asserts the no-mesh sharded call is collective-free and bit-identical
+    to the explicit shard_map form).
+    """
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    @custom_partitioning
+    def f(images, trans):
+        return shear_warp_pallas(images, trans, out_size, interpret)
+
+    def _shardings(mesh, spec):
+        # keep only the batch/channel components of a (possibly shorter)
+        # spec; spatial dims and the 2x3 matrix dims stay replicated.
+        batch = spec[0] if len(spec) > 0 else None
+        chan = spec[3] if len(spec) > 3 else None
+        return (NamedSharding(mesh, PartitionSpec(batch, None, None, chan)),
+                NamedSharding(mesh, PartitionSpec(batch, None, None)))
+
+    def infer_sharding_from_operands(mesh, arg_shapes, result_shape):
+        img_sh, _ = _shardings(mesh, arg_shapes[0].sharding.spec)
+        return img_sh
+
+    def partition(mesh, arg_shapes, result_shape):
+        out_sh, tr_sh = _shardings(mesh, result_shape.sharding.spec)
+
+        def lower_fn(images, trans):
+            return shear_warp_pallas(images, trans, out_size, interpret)
+
+        return mesh, lower_fn, out_sh, (out_sh, tr_sh)
+
+    f.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer_sharding_from_operands,
+        sharding_rule="b i j c, b k l -> b m n c",
+        need_replication_factors=("i", "j", "k", "l", "m", "n"),
+    )
+    return f
+
+
 def shear_warp_pallas_dp(images, trans, out_size, mesh=None, axis="data",
                          interpret: bool | None = None):
-    """``shear_warp_pallas`` made safe under a multi-device mesh.
+    """``shear_warp_pallas`` made safe under multi-device execution.
 
     A ``pallas_call`` is OPAQUE to the SPMD partitioner: under plain
     ``jit(..., in_shardings=...)`` on an 8-device mesh the compiled program
     ALL-GATHERS the full image batch to every device before the kernel
     (measured: 107 all-gather ops), silently destroying data parallelism.
-    Wrapping the call in ``jax.shard_map`` over the data axis maps the
-    kernel per shard instead — the compiled program has ZERO collectives
-    (asserted in tests/test_eval_warp.py). The warp is per-sample, so the
-    manual mapping is trivially correct; per-shard compilation may round
-    the fp32 position math differently from the unsharded program (~2e-3
-    on a 0-255 scale — the same order as the separable warp's documented
-    parity to the gather sampler).
+    Two safe forms, both collective-free (tests/test_eval_warp.py):
 
-    mesh=None or a 1-device mesh falls through to the plain kernel.
+    - ``mesh=`` given: ``jax.shard_map`` over the data axis maps the kernel
+      per shard (the original, multi-host-proven form).
+    - ``mesh=None`` on a multi-device host: the ``custom_partitioning``
+      wrapper (``_partitioned_warp``) lets the partitioner itself shard the
+      call — no caller cooperation needed, bit-identical to the shard_map
+      form.
+
+    Either sharded form's per-shard compilation may round the fp32 position
+    math differently from the unsharded program (~2e-3 on a 0-255 scale —
+    the same order as the separable warp's documented parity to the gather
+    sampler). mesh=None on a single-device host (and 1-device meshes) falls
+    through to the plain kernel — the exact program the single-chip bench
+    measures.
     """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     if mesh is None or mesh.size == 1:
+        if mesh is None and jax.device_count() > 1:
+            return _partitioned_warp(
+                tuple(int(v) for v in out_size), interpret)(images, trans)
         return shear_warp_pallas(images, trans, tuple(out_size), interpret)
     from jax.sharding import PartitionSpec as P
     fn = jax.shard_map(

@@ -151,22 +151,21 @@ def resolve_train_warp(warp, mesh=None, name="TRAIN.WARP"):
     ``data/augment.py`` and the profiling tools so the accepted values
     cannot drift between call sites.
 
-    "auto" picks the fused Pallas kernel only where it is BOTH the measured
-    winner (real TPU backend — BENCH_NOTES "fused Pallas shear warp", +24%
-    full-step at B=128) AND partitioner-safe without caller cooperation: a
-    ``pallas_call`` is opaque to the SPMD partitioner, so on a multi-device
-    host the kernel is only safe when the caller threads the data mesh
-    through (``shear_warp_pallas_dp`` shard_maps it per shard). With
-    ``mesh=None`` on a multi-device host, "auto" therefore resolves to the
-    XLA shear path instead of risking a silent full-batch all-gather; an
-    explicit ``TRAIN.WARP="pallas"`` still honors the user's choice (the
-    hazard is documented on ``shear_warp_pallas_dp``).
+    "auto" picks the fused Pallas kernel on the real TPU backend — the
+    measured winner (BENCH_NOTES "fused Pallas shear warp", +24% full-step
+    at B=128) — and the XLA shear path elsewhere. The kernel is
+    partitioner-safe in EVERY calling convention: with a caller-threaded
+    ``mesh=`` it is shard_map'd per shard, and with ``mesh=None`` on a
+    multi-device host the ``custom_partitioning`` wrapper
+    (``ops/pallas/shear_warp._partitioned_warp``) teaches the SPMD
+    partitioner the op's layout, so a forgotten mesh can no longer cause
+    the silent full-batch all-gather that motivated the old mesh gate.
+    ``mesh`` is kept as a parameter for call-site symmetry but no longer
+    affects the choice.
     """
+    del mesh  # no longer gates "auto" — see docstring
     if warp == "auto":
-        if jax.default_backend() == "tpu" and (
-                mesh is not None or jax.device_count() == 1):
-            return "pallas"
-        return "shear"
+        return "pallas" if jax.default_backend() == "tpu" else "shear"
     if warp not in ("gather", "shear", "pallas"):
         raise ValueError(
             f"{name}={warp!r}: expected auto|pallas|shear|gather")
@@ -221,9 +220,10 @@ def crop_and_normalize(images, trans, out_size, flip=None, separable=False,
         (resolved via ``resolve_eval_warp``). "shear"/"pallas" require a
         square source and fall back to "separable" otherwise (both are
         exact-footprint at rot=0, the only case eval produces).
-      mesh/data_axis: the data mesh when this runs batch-sharded — needed
-        by the "pallas" sampler only (a pallas_call is opaque to the SPMD
-        partitioner; see ``shear_warp_pallas_dp``).
+      mesh/data_axis: optional explicit data mesh for the "pallas" sampler
+        (shard_maps the kernel per shard). With mesh=None the sampler is
+        still SPMD-safe on multi-device hosts via its custom_partitioning
+        wrapper; see ``shear_warp_pallas_dp``.
 
     Returns:
       (N, out_h, out_w, 3) float32 normalized inputs.

@@ -4,12 +4,14 @@ Covers:
 - rot=0 crop parity: all samplers implement the same exact bilinear map;
   shear/pallas are exact-footprint at rot=0 (the only case eval produces),
   so they agree with the separable MXU sampler to fp32-rounding order.
-- the SPMD-partitioner hazard: a pallas_call inside plain
+- the SPMD-partitioner hazard: a bare pallas_call inside plain
   ``jit(..., in_shardings=...)`` is opaque to the partitioner, which
   ALL-GATHERS the image batch to every device (measured 107 all-gathers on
-  the 8-device mesh). ``shear_warp_pallas_dp`` shard_maps the kernel over
-  the data axis instead — this file asserts the compiled sharded program
-  has ZERO collectives and still matches the unsharded result.
+  the 8-device mesh). ``shear_warp_pallas_dp`` has two safe forms — an
+  explicit shard_map when ``mesh=`` is threaded, and a custom_partitioning
+  wrapper when it is not — this file asserts BOTH compiled sharded
+  programs have ZERO collectives, agree with each other bit-identically,
+  and match the unsharded result.
 - make_e2e_fn honors TEST.WARP end-to-end (incl. "auto" trace-time backend
   resolution and ValueError on unknown values), single-device and mesh.
 """
@@ -75,6 +77,29 @@ def test_pallas_dp_sharded_no_collectives():
     ref = np.asarray(jax.jit(
         lambda im, t: shear_warp_pallas(im, t, OUT))(imgs, trans))
     np.testing.assert_allclose(out, ref, atol=5e-3)   # 0-255 scale
+
+
+def test_pallas_no_mesh_sharded_no_collectives():
+    """The custom_partitioning form: calling ``shear_warp_pallas_dp`` with
+    NO mesh under jit with batch-sharded operands must compile per-shard
+    (zero collectives) and agree bit-identically with the explicit
+    shard_map form — the round-3 'forgotten mesh=' hazard is gone."""
+    from rsgnet_tpu.ops.pallas.shear_warp import shear_warp_pallas_dp
+    imgs, _, _, trans = _eval_batch()
+    mesh = make_mesh(8)
+    shard = NamedSharding(mesh, P("data"))
+    imgs_d = jax.device_put(imgs, shard)
+    trans_d = jax.device_put(trans, shard)
+    f = jax.jit(lambda im, t: shear_warp_pallas_dp(im, t, OUT))   # mesh=None
+    hlo = f.lower(imgs_d, trans_d).compile().as_text()
+    for coll in ("all-gather", "all-reduce", "all-to-all",
+                 "collective-permute", "reduce-scatter"):
+        assert hlo.count(coll) == 0, (coll, hlo.count(coll))
+    out = np.asarray(f(imgs_d, trans_d))
+    ref = np.asarray(jax.jit(
+        lambda im, t: shear_warp_pallas_dp(im, t, OUT, mesh=mesh),
+        in_shardings=(shard, shard))(imgs, trans))
+    np.testing.assert_array_equal(out, ref)
 
 
 def _tiny_eval_cfg():
@@ -173,6 +198,18 @@ def test_train_step_pallas_on_mesh_runs():
     new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))
 
+    # the same step built WITHOUT the mesh threaded through (the round-3
+    # 'forgotten mesh=' hazard): the custom_partitioning wrapper keeps the
+    # pallas warp per-shard — still zero all-gathers, same loss.
+    step_nm = jax.jit(make_train_step(cfg, model, spec, jit=False),
+                      in_shardings=(repl, {kk: shard for kk in batch}, repl))
+    hlo_nm = step_nm.lower(
+        state, batch, jax.random.PRNGKey(1)).compile().as_text()
+    assert hlo_nm.count("all-gather") == 0, hlo_nm.count("all-gather")
+    _, metrics_nm = step_nm(state, batch, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(metrics_nm["loss"]),
+                               float(metrics["loss"]), rtol=1e-5)
+
 
 def test_resolve_warp_shared_helpers(monkeypatch):
     """ops/warp.py's resolvers are the single source of truth for the warp
@@ -194,17 +231,15 @@ def test_resolve_warp_shared_helpers(monkeypatch):
     b = np.asarray(crop_and_normalize(imgs, trans, OUT, warp="separable"))
     np.testing.assert_array_equal(a, b)
 
-    # train: "auto" picks pallas ONLY where it is partitioner-safe — on the
-    # TPU backend with a threaded mesh or a single device; a forgotten mesh
-    # on a multi-device host falls back to the SPMD-safe shear path instead
-    # of silently all-gathering the sharded image batch.
+    # train: "auto" picks pallas on the real TPU backend regardless of
+    # mesh — the kernel is SPMD-safe in every calling convention now
+    # (shard_map'd with mesh=, custom_partitioning-wrapped without), so
+    # the old forgotten-mesh gate is gone.
     monkeypatch.setattr(warp_mod.jax, "default_backend", lambda: "tpu")
-    monkeypatch.setattr(warp_mod.jax, "device_count", lambda: 8)
-    assert warp_mod.resolve_train_warp("auto") == "shear"
-    assert warp_mod.resolve_train_warp("auto", mesh=object()) == "pallas"
-    monkeypatch.setattr(warp_mod.jax, "device_count", lambda: 1)
     assert warp_mod.resolve_train_warp("auto") == "pallas"
+    assert warp_mod.resolve_train_warp("auto", mesh=object()) == "pallas"
     monkeypatch.setattr(warp_mod.jax, "default_backend", lambda: "cpu")
+    assert warp_mod.resolve_train_warp("auto") == "shear"
     assert warp_mod.resolve_train_warp("auto", mesh=object()) == "shear"
     assert warp_mod.resolve_train_warp("gather") == "gather"
     with pytest.raises(ValueError, match="TRAIN.WARP"):
