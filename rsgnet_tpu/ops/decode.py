@@ -135,14 +135,15 @@ def get_final_preds_jax(heatmaps_nhwc, center, scale, *,
     # the raw-argmax ablation and must bypass DARK too
     use_dark = use_dark and post_process
     if use_dark and use_pallas:
-        from rsgnet_tpu.ops.pallas import dark_decode_pallas
+        from rsgnet_tpu.ops.pallas import dark_decode_pallas_spmd
         # Mosaic compiles on TPU backends (incl. tunneled ones, e.g. 'axon');
         # the CPU backend runs the kernel in interpret mode (bit-identical,
-        # slower — tests/CPU CI)
+        # slower — tests/CPU CI). The _spmd entry keeps batch-sharded eval
+        # per-shard on multi-device hosts (custom_partitioning wrapper).
         interpret = jax.default_backend() == "cpu"
-        coords, maxvals = dark_decode_pallas(heatmaps_nhwc,
-                                             blur_kernel=blur_kernel,
-                                             interpret=interpret)
+        coords, maxvals = dark_decode_pallas_spmd(heatmaps_nhwc,
+                                                  blur_kernel=blur_kernel,
+                                                  interpret=interpret)
     else:
         coords, maxvals = get_max_preds_jax(heatmaps_nhwc)
         if use_dark:
