@@ -142,48 +142,19 @@ def dark_decode_pallas(heatmaps_nhwc, blur_kernel: int = 11,
 def _partitioned_decode(blur_kernel, interpret):
     """``dark_decode_pallas`` wrapped in ``custom_partitioning`` — the same
     treatment as the fused shear warp (ops/pallas/shear_warp.py
-    ::_partitioned_warp): a bare pallas_call is opaque to the SPMD
-    partitioner, so under jit with batch-sharded heatmaps the compiled
-    program would all-gather the whole batch to every device. The wrapper
-    declares batch (and joint) dims passthrough and the spatial dims
-    replicated; the sharded call then runs per shard with zero collectives,
+    ::_partitioned_warp): batch and joint dims passthrough, spatial dims
+    replicated. The sharded call runs per shard with zero collectives,
     matching the unsharded kernel to fp32-rounding order (per-shard
-    compilation fuses independently — tests/test_pallas_dark.py)."""
-    from jax.experimental.custom_partitioning import custom_partitioning
-    from jax.sharding import NamedSharding, PartitionSpec
+    compilation fuses independently — tests/test_pallas_dark.py). Shared
+    machinery: ops/pallas/partitioning.py."""
+    from rsgnet_tpu.ops.pallas.partitioning import make_partitioned
 
-    @custom_partitioning
-    def f(heatmaps):
-        return dark_decode_pallas(heatmaps, blur_kernel, interpret)
-
-    def _outs(mesh, batch, k):
-        sh = NamedSharding(mesh, PartitionSpec(batch, k, None))
-        return (sh, sh)
-
-    def infer_sharding_from_operands(mesh, arg_shapes, result_shape):
-        spec = arg_shapes[0].sharding.spec
-        batch = spec[0] if len(spec) > 0 else None
-        k = spec[3] if len(spec) > 3 else None
-        return _outs(mesh, batch, k)
-
-    def partition(mesh, arg_shapes, result_shape):
-        spec = result_shape[0].sharding.spec
-        batch = spec[0] if len(spec) > 0 else None
-        k = spec[1] if len(spec) > 1 else None
-        arg_sh = (NamedSharding(mesh, PartitionSpec(batch, None, None, k)),)
-
-        def lower_fn(heatmaps):
-            return dark_decode_pallas(heatmaps, blur_kernel, interpret)
-
-        return mesh, lower_fn, _outs(mesh, batch, k), arg_sh
-
-    f.def_partition(
-        partition=partition,
-        infer_sharding_from_operands=infer_sharding_from_operands,
-        sharding_rule="b h w k -> b k i, b k j",
-        need_replication_factors=("h", "w", "i", "j"),
+    return make_partitioned(
+        lambda heatmaps: dark_decode_pallas(heatmaps, blur_kernel,
+                                            interpret),
+        rule="b h w k -> b k i, b k j",
+        need_replication=("h", "w", "i", "j"),
     )
-    return f
 
 
 def dark_decode_pallas_spmd(heatmaps_nhwc, blur_kernel: int = 11,

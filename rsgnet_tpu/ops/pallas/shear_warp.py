@@ -231,55 +231,22 @@ def shear_warp_pallas(images, trans, out_size, interpret: bool | None = None):
 
 @functools.lru_cache(maxsize=None)
 def _partitioned_warp(out_size, interpret):
-    """``shear_warp_pallas`` wrapped in ``jax.experimental
-    .custom_partitioning`` — the partitioner-aware form that needs NO
-    caller-threaded mesh.
+    """``shear_warp_pallas`` wrapped in ``custom_partitioning`` — the
+    partitioner-aware form that needs NO caller-threaded mesh: the batch
+    (and channel) dimensions are passthrough factors, every spatial/matrix
+    dimension is replicated (each program needs its whole square source
+    image). Under ``jit`` with batch-sharded operands the compiled program
+    runs the kernel per shard with ZERO collectives, bit-identical to the
+    explicit shard_map form (tests/test_eval_warp.py). Shared machinery:
+    ops/pallas/partitioning.py."""
+    from rsgnet_tpu.ops.pallas.partitioning import make_partitioned
 
-    A ``pallas_call`` is opaque to the SPMD partitioner; this wrapper
-    teaches the partitioner the op's data layout instead: the batch (and
-    channel) dimensions are passthrough factors, every spatial/matrix
-    dimension must be replicated (each program needs its whole square
-    source image). Under ``jit`` with batch-sharded operands the compiled
-    program then runs the kernel per shard with ZERO collectives —
-    verified for both the shardy rule (`sharding_rule`, the default
-    partitioner here) and the GSPMD callbacks (tests/test_eval_warp.py
-    asserts the no-mesh sharded call is collective-free and bit-identical
-    to the explicit shard_map form).
-    """
-    from jax.experimental.custom_partitioning import custom_partitioning
-    from jax.sharding import NamedSharding, PartitionSpec
-
-    @custom_partitioning
-    def f(images, trans):
-        return shear_warp_pallas(images, trans, out_size, interpret)
-
-    def _shardings(mesh, spec):
-        # keep only the batch/channel components of a (possibly shorter)
-        # spec; spatial dims and the 2x3 matrix dims stay replicated.
-        batch = spec[0] if len(spec) > 0 else None
-        chan = spec[3] if len(spec) > 3 else None
-        return (NamedSharding(mesh, PartitionSpec(batch, None, None, chan)),
-                NamedSharding(mesh, PartitionSpec(batch, None, None)))
-
-    def infer_sharding_from_operands(mesh, arg_shapes, result_shape):
-        img_sh, _ = _shardings(mesh, arg_shapes[0].sharding.spec)
-        return img_sh
-
-    def partition(mesh, arg_shapes, result_shape):
-        out_sh, tr_sh = _shardings(mesh, result_shape.sharding.spec)
-
-        def lower_fn(images, trans):
-            return shear_warp_pallas(images, trans, out_size, interpret)
-
-        return mesh, lower_fn, out_sh, (out_sh, tr_sh)
-
-    f.def_partition(
-        partition=partition,
-        infer_sharding_from_operands=infer_sharding_from_operands,
-        sharding_rule="b i j c, b k l -> b m n c",
-        need_replication_factors=("i", "j", "k", "l", "m", "n"),
+    return make_partitioned(
+        lambda images, trans: shear_warp_pallas(images, trans, out_size,
+                                                interpret),
+        rule="b i j c, b k l -> b m n c",
+        need_replication=("i", "j", "k", "l", "m", "n"),
     )
-    return f
 
 
 def shear_warp_pallas_dp(images, trans, out_size, mesh=None, axis="data",

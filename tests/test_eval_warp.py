@@ -101,6 +101,20 @@ def test_pallas_no_mesh_sharded_no_collectives():
         in_shardings=(shard, shard))(imgs, trans))
     np.testing.assert_array_equal(out, ref)
 
+    # a REPLICATED result request over sharded inputs must still compute
+    # per shard and all-gather only the small output — never the (N, S, S,
+    # C) source images (partition() derives the kernel shardings from the
+    # operands, not the requested result; ops/pallas/partitioning.py)
+    g = jax.jit(lambda im, t: shear_warp_pallas_dp(im, t, OUT),
+                out_shardings=NamedSharding(mesh, P()))
+    hlo_r = g.lower(imgs_d, trans_d).compile().as_text()
+    src = imgs.shape[1]
+    for line in hlo_r.splitlines():
+        if "all-gather" in line:
+            assert f"{src},{src}" not in line, line
+    out_r = np.asarray(g(imgs_d, trans_d))
+    np.testing.assert_array_equal(out_r, ref)
+
 
 def _tiny_eval_cfg():
     return tiny_rsgnet()      # native 64x96 input (divisible by 32)
