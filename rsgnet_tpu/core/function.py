@@ -14,6 +14,7 @@ The reference ``lib/core/function.py`` + ``tools/train.py`` orchestration
 """
 from __future__ import annotations
 
+import os
 import time
 
 import jax
@@ -31,15 +32,35 @@ from rsgnet_tpu.utils.logger import AverageMeter
 
 
 def train_one_epoch(step_fn, state, loader, rng, epoch, shard, logger=None,
-                    print_freq=100, cfg=None, debug_dir=None):
-    """Returns (state, mean_loss). Device ahead of host via prefetch."""
+                    print_freq=100, cfg=None, debug_dir=None,
+                    profile=None):
+    """Returns (state, mean_loss). Device ahead of host via prefetch.
+
+    ``profile``: optional ``(logdir, n_steps)`` — capture a ``jax.profiler``
+    (xprof/TensorBoard) trace of ``n_steps`` steady-state steps. The trace
+    starts AFTER step 0 completes so compilation and warmup are excluded,
+    and both edges fence on the threaded state so the window contains whole
+    steps (dispatch is async; an unfenced start would catch step 0's tail).
+    """
     batch_time = AverageMeter()
     losses = AverageMeter()
     accs = AverageMeter()
     end = time.perf_counter()
     pending = None                    # lazily-read metrics (1-step delay)
     n = 0
+    prof_stop = None                  # step index AFTER which to stop
     for i, batch in enumerate(device_prefetch(iter(loader), sharding=shard)):
+        if profile is not None and i == 1:
+            jax.block_until_ready(state)
+            jax.profiler.start_trace(profile[0])
+            prof_stop = i + max(1, int(profile[1]))
+        if prof_stop is not None and i == prof_stop:
+            jax.block_until_ready(state)
+            jax.profiler.stop_trace()
+            prof_stop = None
+            if logger:
+                logger.info("profiler trace (%d steps) written to %s",
+                            max(1, int(profile[1])), profile[0])
         batch.pop("num_valid", None)
         batch.pop("image_id", None)
         batch.pop("score", None)
@@ -69,6 +90,12 @@ def train_one_epoch(step_fn, state, loader, rng, epoch, shard, logger=None,
                 epoch, i, len(loader), batch_time.val, batch_time.avg,
                 losses.val, losses.avg, accs.val, accs.avg,
                 bs / max(batch_time.avg, 1e-9))
+    if prof_stop is not None:         # epoch shorter than the trace window
+        jax.block_until_ready(state)
+        jax.profiler.stop_trace()
+        if logger:
+            logger.info("profiler trace (short epoch) written to %s",
+                        profile[0])
     if pending is not None:
         losses.update(float(pending["loss"]), bs)
         accs.update(float(pending["acc"]), bs)
@@ -90,8 +117,14 @@ def _make_tb_writer(tb_dir):
 def fit(cfg: Config, model, train_dataset, val_dataset=None,
         output_dir: str = "output", logger=None, num_workers: int = 8,
         mesh=None, max_epochs=None, eval_every: int = 1,
-        init_state=None, tb_dir=None):
+        init_state=None, tb_dir=None, profile_steps: int = 0):
     """Full training run. Returns (state, best_perf).
+
+    ``profile_steps``: when > 0, capture a ``jax.profiler`` (xprof) trace of
+    that many steady-state train steps of the FIRST epoch into
+    ``<output_dir>/xprof`` (process 0 only — each process traces its local
+    devices, and process 0 owns file outputs). View with TensorBoard's
+    profile plugin.
 
     Multi-process (multi-host DP): when ``jax.process_count() > 1`` (the
     launcher called ``initialize_distributed``), the mesh spans every
@@ -215,6 +248,9 @@ def fit(cfg: Config, model, train_dataset, val_dataset=None,
         erng = jax.random.fold_in(base_rng, epoch)
         if hasattr(loader, "set_epoch"):
             loader.set_epoch(epoch)
+        prof = None
+        if profile_steps > 0 and epoch == begin_epoch and is_main:
+            prof = (os.path.join(output_dir, "xprof"), profile_steps)
         state, loss = train_one_epoch(step_fn, state, loader, erng, epoch,
                                       shard, logger, cfg.PRINT_FREQ,
                                       cfg=cfg,
@@ -222,7 +258,7 @@ def fit(cfg: Config, model, train_dataset, val_dataset=None,
                                       # across processes — fetchable only
                                       # single-process
                                       debug_dir=output_dir if nproc == 1
-                                      else None)
+                                      else None, profile=prof)
         perf = 0.0
         validated = (val_dataset is not None
                      and (epoch + 1) % eval_every == 0)

@@ -137,6 +137,30 @@ def test_fit_async_checkpoint_resumes(fixture_root, tmp_path):
     _tree_allclose(state.params, state2.params)
 
 
+def test_fit_profile_steps_writes_xprof_trace(fixture_root, tmp_path):
+    """fit(profile_steps=1) captures an xprof trace of one steady-state
+    step (skipping the compile step) into <output_dir>/xprof — the
+    tools/train.py --profile surface."""
+    from rsgnet_tpu.core.function import fit
+    from rsgnet_tpu.data import get_dataset
+
+    cfg = tiny_rsgnet()
+    cfg.TRAIN.BATCH_SIZE_PER_GPU = 1
+    out = str(tmp_path / "prof_run")
+    model = get_pose_net(cfg)
+    train_ds = get_dataset(cfg, root=fixture_root, image_set="val",
+                           is_train=True)
+    train_ds.db = (train_ds.db * 6)[:24]       # 3 steps of global batch 8
+    fit(cfg, model, train_ds, val_dataset=None, output_dir=out,
+        max_epochs=1, profile_steps=1)
+    prof_root = os.path.join(out, "xprof", "plugins", "profile")
+    assert os.path.isdir(prof_root), os.listdir(out)
+    runs = os.listdir(prof_root)
+    assert runs, prof_root
+    files = os.listdir(os.path.join(prof_root, runs[0]))
+    assert any("trace" in f for f in files), files
+
+
 def test_load_weights_msgpack(tmp_path):
     cfg = tiny_rsgnet()
     model, state = make_state(cfg)

@@ -37,6 +37,10 @@ def parse_args():
                    help="validate every N epochs")
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans (dev mode)")
+    p.add_argument("--profile", type=int, default=0, metavar="N",
+                   help="capture an xprof trace of N steady-state train "
+                        "steps (first epoch, compile/warmup excluded) into "
+                        "<output_dir>/xprof; view with TensorBoard")
     p.add_argument("opts", nargs=argparse.REMAINDER,
                    help="KEY VALUE config override pairs")
     return p.parse_args()
@@ -69,7 +73,8 @@ def main():
                       num_workers=cfg.WORKERS if args.workers is None
                       else args.workers,
                       max_epochs=args.max_epochs, tb_dir=tb_dir,
-                      eval_every=args.eval_every)
+                      eval_every=args.eval_every,
+                      profile_steps=args.profile)
     logger.info("done; best perf %.4f", best)
 
 
