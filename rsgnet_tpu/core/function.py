@@ -36,11 +36,9 @@ def train_one_epoch(step_fn, state, loader, rng, epoch, shard, logger=None,
                     profile=None):
     """Returns (state, mean_loss). Device ahead of host via prefetch.
 
-    ``profile``: optional ``(logdir, n_steps)`` — capture a ``jax.profiler``
-    (xprof/TensorBoard) trace of ``n_steps`` steady-state steps. The trace
-    starts AFTER step 0 completes so compilation and warmup are excluded,
-    and both edges fence on the threaded state so the window contains whole
-    steps (dispatch is async; an unfenced start would catch step 0's tail).
+    ``profile``: optional ``(logdir, n_steps)`` — capture an xprof trace of
+    ``n_steps`` steady-state steps via ``StepTraceWindow`` (starts after
+    step 0, so compilation and warmup are excluded; fenced edges).
     """
     batch_time = AverageMeter()
     losses = AverageMeter()
@@ -48,19 +46,15 @@ def train_one_epoch(step_fn, state, loader, rng, epoch, shard, logger=None,
     end = time.perf_counter()
     pending = None                    # lazily-read metrics (1-step delay)
     n = 0
-    prof_stop = None                  # step index AFTER which to stop
+    tracer = None
+    if profile is not None:
+        from rsgnet_tpu.utils.profiler import StepTraceWindow
+        tracer = StepTraceWindow(profile[0], profile[1], logger=logger)
     for i, batch in enumerate(device_prefetch(iter(loader), sharding=shard)):
-        if profile is not None and i == 1:
-            jax.block_until_ready(state)
-            jax.profiler.start_trace(profile[0])
-            prof_stop = i + max(1, int(profile[1]))
-        if prof_stop is not None and i == prof_stop:
-            jax.block_until_ready(state)
-            jax.profiler.stop_trace()
-            prof_stop = None
-            if logger:
-                logger.info("profiler trace (%d steps) written to %s",
-                            max(1, int(profile[1])), profile[0])
+        if tracer is not None:
+            # the threaded state is the fence: it is an output of every
+            # dispatched step, so its readiness marks them complete
+            tracer.step(i, state)
         batch.pop("num_valid", None)
         batch.pop("image_id", None)
         batch.pop("score", None)
@@ -90,12 +84,8 @@ def train_one_epoch(step_fn, state, loader, rng, epoch, shard, logger=None,
                 epoch, i, len(loader), batch_time.val, batch_time.avg,
                 losses.val, losses.avg, accs.val, accs.avg,
                 bs / max(batch_time.avg, 1e-9))
-    if prof_stop is not None:         # epoch shorter than the trace window
-        jax.block_until_ready(state)
-        jax.profiler.stop_trace()
-        if logger:
-            logger.info("profiler trace (short epoch) written to %s",
-                        profile[0])
+    if tracer is not None:            # epoch shorter than the trace window
+        tracer.close(state)
     if pending is not None:
         losses.update(float(pending["loss"]), bs)
         accs.update(float(pending["acc"]), bs)

@@ -9,6 +9,7 @@ feeds batches (double-buffered prefetch) and collects results.
 """
 from __future__ import annotations
 
+import os
 import time
 
 import jax
@@ -44,13 +45,17 @@ def make_validate_infer_fn(cfg: Config, model, dataset, mesh=None,
 def collect_predictions(cfg: Config, dataset, model, variables,
                         batch_size: int | None = None, num_workers: int = 8,
                         logger=None, mesh=None, pipeline: str = "device",
-                        infer_fn=None):
+                        infer_fn=None, profile=None):
     """The device half of ``validate``: run the jitted eval path over the
     whole dataset and return host arrays
     ``(all_preds (N,K,3), all_boxes (N,6), image_ids (N,))`` in db order —
     everything ``dataset.evaluate`` needs. Split out so multi-host eval can
     collect per-process shards and gather before evaluating
-    (``validate_distributed``)."""
+    (``validate_distributed``).
+
+    ``profile``: optional ``(logdir, n_batches)`` — capture an xprof trace
+    of steady-state eval batches (``StepTraceWindow``: batch 0's compile
+    stays out, fenced edges)."""
     n_dev = mesh.size if mesh is not None else 1
     batch_size = (batch_size or cfg.TEST.BATCH_SIZE_PER_GPU) * n_dev
     host_crop = pipeline == "host"
@@ -134,16 +139,27 @@ def collect_predictions(cfg: Config, dataset, model, variables,
         image_ids[sl] = np.asarray(img_id)[:nv]
         seen += nv
 
-    for batch in device_prefetch(iter(loader), sharding=batch_sharding):
+    tracer = None
+    if profile is not None:
+        from rsgnet_tpu.utils.profiler import StepTraceWindow
+        tracer = StepTraceWindow(profile[0], profile[1], logger=logger)
+    last = None                       # newest dispatched outputs (fence)
+    for i, batch in enumerate(
+            device_prefetch(iter(loader), sharding=batch_sharding)):
+        if tracer is not None:
+            tracer.step(i, last)
         nv = int(batch["num_valid"])
         # uint8 images go to the device as-is; casts happen on device
         preds, maxvals = infer(variables, batch[image_key],
                                batch["center"], batch["scale"])
+        last = (preds, maxvals)
         window.append((nv, preds, maxvals, batch["center"], batch["scale"],
                        batch["score"], batch["image_id"],
                        batch.get("factor"), batch.get("offset")))
         if len(window) > 8:
             drain_one()
+    if tracer is not None:
+        tracer.close(last)
     while window:
         drain_one()
     dt = time.perf_counter() - t0
@@ -157,7 +173,8 @@ def collect_predictions(cfg: Config, dataset, model, variables,
 def validate(cfg: Config, dataset, model, variables,
              batch_size: int | None = None, output_dir: str | None = None,
              num_workers: int = 8, logger=None, mesh=None,
-             pipeline: str = "device", infer_fn=None):
+             pipeline: str = "device", infer_fn=None,
+             profile_steps: int = 0):
     """Returns (name_value OrderedDict, AP). Mirrors reference validate().
 
     With ``mesh`` (a 1-D data mesh) the batch is sharded over the chips and
@@ -171,10 +188,13 @@ def validate(cfg: Config, dataset, model, variables,
         model-input-sized uint8 crops (8x less transfer; best on
         bandwidth-constrained links — see BENCH_NOTES.md).
     """
+    profile = None
+    if profile_steps > 0 and output_dir:
+        profile = (os.path.join(output_dir, "xprof"), profile_steps)
     all_preds, all_boxes, image_ids = collect_predictions(
         cfg, dataset, model, variables, batch_size=batch_size,
         num_workers=num_workers, logger=logger, mesh=mesh,
-        pipeline=pipeline, infer_fn=infer_fn)
+        pipeline=pipeline, infer_fn=infer_fn, profile=profile)
     return _evaluate_and_log(dataset, all_preds, all_boxes, image_ids,
                              output_dir, logger)
 

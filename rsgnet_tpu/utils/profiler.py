@@ -42,6 +42,51 @@ def enable_nan_checks(enable: bool = True):
     jax.config.update("jax_debug_nans", enable)
 
 
+class StepTraceWindow:
+    """Capture an xprof trace of steps ``[start, start+n_steps)`` of an
+    async-dispatched loop (train steps, eval batches).
+
+    The loop calls ``step(i, fence)`` at the TOP of iteration ``i`` with a
+    pytree of device values whose completion marks the PREVIOUS iterations
+    done, and ``close(fence)`` after the loop. Both trace edges fence
+    (``jax.block_until_ready``) so the window contains whole steps —
+    dispatch is async and an unfenced edge would clip a step's tail into or
+    out of the trace. ``start`` defaults to 1 so step 0 (compilation +
+    warmup) stays out of the profile.
+    """
+
+    def __init__(self, logdir: str, n_steps: int, start: int = 1,
+                 logger=None):
+        self.logdir = logdir
+        self.n_steps = max(1, int(n_steps))
+        self.start = start
+        self.logger = logger
+        self._stop_at = None      # step index at whose top to stop
+        self._done = False
+
+    def step(self, i: int, fence):
+        if self._stop_at is not None and i == self._stop_at:
+            self._finish(fence)
+        if not self._done and self._stop_at is None and i == self.start:
+            jax.block_until_ready(fence)
+            jax.profiler.start_trace(self.logdir)
+            self._stop_at = i + self.n_steps
+
+    def close(self, fence):
+        """Stop the trace if the loop ended inside the window."""
+        if self._stop_at is not None:
+            self._finish(fence)
+
+    def _finish(self, fence):
+        jax.block_until_ready(fence)
+        jax.profiler.stop_trace()
+        self._stop_at = None
+        self._done = True
+        if self.logger:
+            self.logger.info("profiler trace (<=%d steps) written to %s",
+                             self.n_steps, self.logdir)
+
+
 class ThroughputMeter:
     """Images/sec over fenced step timings; first ``skip`` steps discarded
     (compile + cache warmup)."""

@@ -107,6 +107,33 @@ def test_validate_end_to_end_runs(fixture_root):
     assert 0.0 <= name_value["AR"] <= 1.0 or name_value["AR"] == -1.0
 
 
+def test_validate_profile_steps_writes_xprof_trace(fixture_root, tmp_path):
+    """validate(profile_steps=1) captures an xprof trace of one steady-state
+    eval batch into <output_dir>/xprof — the tools/test.py --profile
+    surface. batch_size=1 so the fixture yields >=2 batches (batch 0 is the
+    excluded compile step)."""
+    import os
+    import jax
+    from rsgnet_tpu.core.validate import validate
+    from rsgnet_tpu.models import get_pose_net
+
+    cfg = make_cfg()
+    ds = build(cfg, fixture_root)
+    model = get_pose_net(cfg)
+    h, w = cfg.MODEL.IMAGE_SIZE[1], cfg.MODEL.IMAGE_SIZE[0]
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, h, w, 3), np.float32), train=False)
+    out = str(tmp_path / "val_prof")
+    _, ap = validate(cfg, ds, model, variables, batch_size=1,
+                     output_dir=out, profile_steps=1)
+    assert np.isfinite(ap)
+    prof_root = os.path.join(out, "xprof", "plugins", "profile")
+    assert os.path.isdir(prof_root), os.listdir(out)
+    runs = os.listdir(prof_root)
+    files = os.listdir(os.path.join(prof_root, runs[0]))
+    assert any("trace" in f for f in files), files
+
+
 def test_validate_pose_resnet_family(fixture_root):
     """The SimpleBaseline family drives the SAME end-to-end eval stack
     (device warp, flip-test, decode, rescoring, OKS-NMS, COCOeval)."""

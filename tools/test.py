@@ -28,6 +28,10 @@ def parse_args():
     p.add_argument("--pipeline", choices=("device", "host"), default="device",
                    help="eval preprocessing: fused device warp, or "
                         "reference-style host crop (low-bandwidth links)")
+    p.add_argument("--profile", type=int, default=0, metavar="N",
+                   help="capture an xprof trace of N steady-state eval "
+                        "batches (compile excluded) into <output_dir>/xprof;"
+                        " single-process eval only")
     p.add_argument("opts", nargs=argparse.REMAINDER)
     return p.parse_args()
 
@@ -44,6 +48,8 @@ def main():
     dataset = get_dataset(cfg, is_train=False)
     workers = cfg.WORKERS if args.workers is None else args.workers
     if jax.process_count() > 1:
+        if args.profile:
+            logger.warning("--profile is single-process only; ignored")
         # each host evaluates its dataset slice on local devices; results
         # gathered before the AP table (core/validate.py)
         name_value, ap = validate_distributed(
@@ -57,7 +63,8 @@ def main():
                                   output_dir=output_dir, logger=logger,
                                   num_workers=workers,
                                   mesh=mesh,
-                                  pipeline=args.pipeline)
+                                  pipeline=args.pipeline,
+                                  profile_steps=args.profile)
     logger.info("AP: %.4f", ap)
     for k, v in name_value.items():
         logger.info("%-8s: %.4f", k, v)
