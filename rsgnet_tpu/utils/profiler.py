@@ -69,7 +69,15 @@ class StepTraceWindow:
             self._finish(fence)
         if not self._done and self._stop_at is None and i == self.start:
             jax.block_until_ready(fence)
-            jax.profiler.start_trace(self.logdir)
+            try:
+                jax.profiler.start_trace(self.logdir)
+            except Exception as e:          # profiling must never kill a run
+                self._done = True
+                if self.logger:
+                    self.logger.warning("profiler trace unavailable on this "
+                                        "backend (%s) — continuing without",
+                                        e)
+                return
             self._stop_at = i + self.n_steps
 
     def close(self, fence):
