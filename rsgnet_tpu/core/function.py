@@ -29,6 +29,7 @@ from rsgnet_tpu.data.skeletons import get_spec
 from rsgnet_tpu.parallel.mesh import make_mesh
 from rsgnet_tpu.utils.checkpoint import auto_resume, save_checkpoint
 from rsgnet_tpu.utils.logger import AverageMeter
+from rsgnet_tpu.utils.profiler import StepTraceWindow
 
 
 def train_one_epoch(step_fn, state, loader, rng, epoch, shard, logger=None,
@@ -46,46 +47,47 @@ def train_one_epoch(step_fn, state, loader, rng, epoch, shard, logger=None,
     end = time.perf_counter()
     pending = None                    # lazily-read metrics (1-step delay)
     n = 0
-    tracer = None
-    if profile is not None:
-        from rsgnet_tpu.utils.profiler import StepTraceWindow
-        tracer = StepTraceWindow(profile[0], profile[1], logger=logger)
-    for i, batch in enumerate(device_prefetch(iter(loader), sharding=shard)):
-        if tracer is not None:
-            # the threaded state is the fence: it is an output of every
-            # dispatched step, so its readiness marks them complete
-            tracer.step(i, state)
-        batch.pop("num_valid", None)
-        batch.pop("image_id", None)
-        batch.pop("score", None)
-        batch.pop("factor", None)    # eval-only: targets live in crop space
-        batch.pop("offset", None)
-        rng, sub = jax.random.split(rng)
-        state, metrics = step_fn(state, batch, sub)
-        bs = batch["image"].shape[0]
-        n += bs
-        if pending is not None:
-            losses.update(float(pending["loss"]), bs)
-            accs.update(float(pending["acc"]), bs)
-        pending = metrics
-        batch_time.update(time.perf_counter() - end)
-        end = time.perf_counter()
-        if (cfg is not None and cfg.DEBUG.DEBUG and debug_dir
-                and i % print_freq == 0 and "debug" in metrics):
-            from rsgnet_tpu.utils.vis import save_debug_images
-            d = {k: np.asarray(v) for k, v in metrics["debug"].items()}
-            save_debug_images(cfg, d["inputs"], d["joints"],
-                              d["joints_vis"], d["target"], d["output"],
-                              f"{debug_dir}/train_e{epoch}_i{i}")
-        if logger and i % print_freq == 0:
-            logger.info(
-                "Epoch [%d][%d/%d] time %.3fs (%.3f) loss %.5f (%.5f) "
-                "acc %.3f (%.3f) %.1f img/s",
-                epoch, i, len(loader), batch_time.val, batch_time.avg,
-                losses.val, losses.avg, accs.val, accs.avg,
-                bs / max(batch_time.avg, 1e-9))
-    if tracer is not None:            # epoch shorter than the trace window
-        tracer.close(state)
+    tracer = (StepTraceWindow(profile[0], profile[1], logger=logger)
+              if profile is not None else None)
+    try:
+        for i, batch in enumerate(device_prefetch(iter(loader),
+                                                  sharding=shard)):
+            if tracer is not None:
+                # the threaded state is the fence: it is an output of every
+                # dispatched step, so its readiness marks them complete
+                tracer.step(i, state)
+            batch.pop("num_valid", None)
+            batch.pop("image_id", None)
+            batch.pop("score", None)
+            batch.pop("factor", None)  # eval-only: targets live in crop space
+            batch.pop("offset", None)
+            rng, sub = jax.random.split(rng)
+            state, metrics = step_fn(state, batch, sub)
+            bs = batch["image"].shape[0]
+            n += bs
+            if pending is not None:
+                losses.update(float(pending["loss"]), bs)
+                accs.update(float(pending["acc"]), bs)
+            pending = metrics
+            batch_time.update(time.perf_counter() - end)
+            end = time.perf_counter()
+            if (cfg is not None and cfg.DEBUG.DEBUG and debug_dir
+                    and i % print_freq == 0 and "debug" in metrics):
+                from rsgnet_tpu.utils.vis import save_debug_images
+                d = {k: np.asarray(v) for k, v in metrics["debug"].items()}
+                save_debug_images(cfg, d["inputs"], d["joints"],
+                                  d["joints_vis"], d["target"], d["output"],
+                                  f"{debug_dir}/train_e{epoch}_i{i}")
+            if logger and i % print_freq == 0:
+                logger.info(
+                    "Epoch [%d][%d/%d] time %.3fs (%.3f) loss %.5f (%.5f) "
+                    "acc %.3f (%.3f) %.1f img/s",
+                    epoch, i, len(loader), batch_time.val, batch_time.avg,
+                    losses.val, losses.avg, accs.val, accs.avg,
+                    bs / max(batch_time.avg, 1e-9))
+    finally:
+        if tracer is not None:        # short epoch OR a raising loop: the
+            tracer.close(state)       # trace is flushed either way
     if pending is not None:
         losses.update(float(pending["loss"]), bs)
         accs.update(float(pending["acc"]), bs)

@@ -18,6 +18,7 @@ import numpy as np
 from rsgnet_tpu.config.defaults import Config
 from rsgnet_tpu.core.inference import make_e2e_fn
 from rsgnet_tpu.data.loader import BatchLoader, device_prefetch
+from rsgnet_tpu.utils.profiler import StepTraceWindow
 
 
 def make_validate_infer_fn(cfg: Config, model, dataset, mesh=None,
@@ -139,27 +140,28 @@ def collect_predictions(cfg: Config, dataset, model, variables,
         image_ids[sl] = np.asarray(img_id)[:nv]
         seen += nv
 
-    tracer = None
-    if profile is not None:
-        from rsgnet_tpu.utils.profiler import StepTraceWindow
-        tracer = StepTraceWindow(profile[0], profile[1], logger=logger)
+    tracer = (StepTraceWindow(profile[0], profile[1], logger=logger)
+              if profile is not None else None)
     last = None                       # newest dispatched outputs (fence)
-    for i, batch in enumerate(
-            device_prefetch(iter(loader), sharding=batch_sharding)):
-        if tracer is not None:
-            tracer.step(i, last)
-        nv = int(batch["num_valid"])
-        # uint8 images go to the device as-is; casts happen on device
-        preds, maxvals = infer(variables, batch[image_key],
-                               batch["center"], batch["scale"])
-        last = (preds, maxvals)
-        window.append((nv, preds, maxvals, batch["center"], batch["scale"],
-                       batch["score"], batch["image_id"],
-                       batch.get("factor"), batch.get("offset")))
-        if len(window) > 8:
-            drain_one()
-    if tracer is not None:
-        tracer.close(last)
+    try:
+        for i, batch in enumerate(
+                device_prefetch(iter(loader), sharding=batch_sharding)):
+            if tracer is not None:
+                tracer.step(i, last)
+            nv = int(batch["num_valid"])
+            # uint8 images go to the device as-is; casts happen on device
+            preds, maxvals = infer(variables, batch[image_key],
+                                   batch["center"], batch["scale"])
+            last = (preds, maxvals)
+            window.append((nv, preds, maxvals, batch["center"],
+                           batch["scale"], batch["score"],
+                           batch["image_id"], batch.get("factor"),
+                           batch.get("offset")))
+            if len(window) > 8:
+                drain_one()
+    finally:
+        if tracer is not None:        # flushed even if the loop raised
+            tracer.close(last)
     while window:
         drain_one()
     dt = time.perf_counter() - t0
@@ -189,8 +191,13 @@ def validate(cfg: Config, dataset, model, variables,
         bandwidth-constrained links — see BENCH_NOTES.md).
     """
     profile = None
-    if profile_steps > 0 and output_dir:
-        profile = (os.path.join(output_dir, "xprof"), profile_steps)
+    if profile_steps > 0:
+        if output_dir:
+            profile = (os.path.join(output_dir, "xprof"), profile_steps)
+        elif logger:
+            logger.warning("profile_steps=%d ignored: validate() has no "
+                           "output_dir to write the trace into",
+                           profile_steps)
     all_preds, all_boxes, image_ids = collect_predictions(
         cfg, dataset, model, variables, batch_size=batch_size,
         num_workers=num_workers, logger=logger, mesh=mesh,

@@ -59,6 +59,13 @@ def make_partitioned(fn, rule, need_replication):
 
     op_maps, res_maps = _parse_rule(rule)
     repl = frozenset(need_replication)
+    known = {n for fmap in op_maps + res_maps for n in fmap}
+    if not repl <= known:
+        # a typo here would SILENTLY let a must-stay-whole dim be sharded
+        # (the factor scan would map it to a mesh axis) — fail at factory
+        # time instead
+        raise ValueError(f"need_replication names {sorted(repl - known)} "
+                         f"not present in rule {rule!r}")
 
     f = custom_partitioning(fn)
 

@@ -48,7 +48,9 @@ class StepTraceWindow:
 
     The loop calls ``step(i, fence)`` at the TOP of iteration ``i`` with a
     pytree of device values whose completion marks the PREVIOUS iterations
-    done, and ``close(fence)`` after the loop. Both trace edges fence
+    done, and ``close(fence)`` after the loop — in a ``finally`` clause, so
+    a loop that raises mid-window still flushes the partial trace instead
+    of leaking the process-wide profiler session. Both trace edges fence
     (``jax.block_until_ready``) so the window contains whole steps —
     dispatch is async and an unfenced edge would clip a step's tail into or
     out of the trace. ``start`` defaults to 1 so step 0 (compilation +
@@ -81,15 +83,27 @@ class StepTraceWindow:
             self._stop_at = i + self.n_steps
 
     def close(self, fence):
-        """Stop the trace if the loop ended inside the window."""
+        """Stop the trace if the loop ended (or raised) inside the window;
+        explain a trace that never got the chance to start."""
         if self._stop_at is not None:
             self._finish(fence)
+        elif not self._done and self.logger:
+            self.logger.warning(
+                "profiler trace never started: the loop ended before step "
+                "%d (steps 0..%d are excluded as compile/warmup) — use a "
+                "smaller batch or a larger dataset to profile", self.start,
+                self.start - 1)
 
     def _finish(self, fence):
-        jax.block_until_ready(fence)
-        jax.profiler.stop_trace()
-        self._stop_at = None
-        self._done = True
+        try:
+            jax.block_until_ready(fence)
+        finally:
+            # stop even if the fence itself is poisoned (loop raised):
+            # leaving the process-wide profiler session open would break
+            # every later start_trace in this process
+            self._stop_at = None
+            self._done = True
+            jax.profiler.stop_trace()
         if self.logger:
             self.logger.info("profiler trace (<=%d steps) written to %s",
                              self.n_steps, self.logdir)

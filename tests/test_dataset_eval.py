@@ -130,6 +130,7 @@ def test_validate_profile_steps_writes_xprof_trace(fixture_root, tmp_path):
     prof_root = os.path.join(out, "xprof", "plugins", "profile")
     assert os.path.isdir(prof_root), os.listdir(out)
     runs = os.listdir(prof_root)
+    assert runs, prof_root
     files = os.listdir(os.path.join(prof_root, runs[0]))
     assert any("trace" in f for f in files), files
 

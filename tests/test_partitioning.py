@@ -81,6 +81,15 @@ def test_factory_multi_result_and_second_factor():
     np.testing.assert_array_equal(np.asarray(oy), np.asarray(ry))
 
 
+def test_factory_rejects_unknown_replication_factor():
+    """A typo'd need_replication name fails at factory time instead of
+    silently allowing a must-stay-whole dim to be sharded."""
+    import pytest
+    with pytest.raises(ValueError, match="'x'"):
+        make_partitioned(lambda a: a, rule="b h w k -> b k",
+                         need_replication=("h", "x"))
+
+
 def test_factory_replicated_operands_replicated_result():
     """Fully-replicated operands: factor scan finds no mesh axes; the call
     degenerates to the plain function on every device."""
