@@ -90,6 +90,82 @@ def test_factory_rejects_unknown_replication_factor():
                          need_replication=("h", "x"))
 
 
+def test_factory_fuzz_random_rules():
+    """Randomized factory semantics: for generated rules/shapes/shardings,
+    the wrapped call must equal the plain fn and the compiled program must
+    contain no all-gather of a batch-sharded operand's full batch dim.
+
+    Generator: each case has 1-2 operands and 1-2 results; every array is
+    (B, d1[, d2]) with the batch factor 'b' passthrough and all other
+    factors need_replication. The per-shard fn is elementwise-plus-reduce
+    so it is shape-polymorphic over b (the factory's contract)."""
+    mesh = make_mesh(8)
+    shard = NamedSharding(mesh, P("data"))
+    rng = np.random.default_rng(42)
+    B = 16
+
+    for case in range(10):
+        n_ops = int(rng.integers(1, 3))
+        n_res = int(rng.integers(1, 3))
+        op_shapes = [(B,) + tuple(int(d) for d in
+                                  rng.integers(2, 6, int(rng.integers(1, 3))))
+                     for _ in range(n_ops)]
+        # factor names: batch 'b' shared; every trailing dim gets its own
+        names = []
+        repl = []
+        k = 0
+        for s in op_shapes:
+            fmap = ["b"]
+            for _ in s[1:]:
+                fmap.append(f"f{k}")
+                repl.append(f"f{k}")
+                k += 1
+            names.append(" ".join(fmap))
+        res_dims = [int(rng.integers(1, 3)) for _ in range(n_res)]
+        res_names = []
+        for nd in res_dims:
+            fmap = ["b"]
+            for _ in range(nd):
+                fmap.append(f"f{k}")
+                repl.append(f"f{k}")
+                k += 1
+            res_names.append(" ".join(fmap))
+        rule = ", ".join(names) + " -> " + ", ".join(res_names)
+
+        def make_fn(rd, base):
+            def fn(*ops):
+                # reduce every operand to a per-batch scalar, combine, then
+                # broadcast to each result's (static) trailing shape
+                tot = sum(o.reshape(o.shape[0], -1).sum(axis=1)
+                          for o in ops)
+                outs = tuple(
+                    jnp.broadcast_to(
+                        tot.reshape((-1,) + (1,) * nd),
+                        (tot.shape[0],) + tuple(range(base, base + nd)))
+                    for nd in rd)
+                return outs if len(outs) > 1 else outs[0]
+            return fn
+
+        fn = make_fn(tuple(res_dims), 2 + case % 2)
+
+        wrapped = make_partitioned(fn, rule=rule, need_replication=repl)
+        ops = [rng.normal(size=s).astype(np.float32) for s in op_shapes]
+        ref = fn(*(jnp.asarray(o) for o in ops))
+        ops_d = [jax.device_put(o, shard) for o in ops]
+        f = jax.jit(wrapped)
+        hlo = f.lower(*ops_d).compile().as_text()
+        for line in hlo.splitlines():
+            if "all-gather" in line:
+                # no operand's full batch extent may be re-assembled
+                assert f"f32[{B}," not in line, (rule, line)
+        out = f(*ops_d)
+        for o, r in zip(jax.tree_util.tree_leaves(out),
+                        jax.tree_util.tree_leaves(ref)):
+            np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                       rtol=1e-6, atol=1e-6,
+                                       err_msg=rule)
+
+
 def test_factory_replicated_operands_replicated_result():
     """Fully-replicated operands: factor scan finds no mesh axes; the call
     degenerates to the plain function on every device."""
