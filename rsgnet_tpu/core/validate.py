@@ -202,8 +202,39 @@ def validate(cfg: Config, dataset, model, variables,
         cfg, dataset, model, variables, batch_size=batch_size,
         num_workers=num_workers, logger=logger, mesh=mesh,
         pipeline=pipeline, infer_fn=infer_fn, profile=profile)
+    _save_eval_debug(cfg, dataset, all_preds, output_dir)
     return _evaluate_and_log(dataset, all_preds, all_boxes, image_ids,
                              output_dir, logger)
+
+
+def _save_eval_debug(cfg: Config, dataset, all_preds, output_dir,
+                     max_images: int = 4):
+    """The eval-path analogue of the reference validate()'s
+    ``save_debug_images`` call (SURVEY.md §2.20, §3.2): DEBUG-gated dump of
+    the final predictions, rendered as skeleton overlays on the ORIGINAL
+    frames. The reference draws on the model-input crops mid-loop; here the
+    predictions are already mapped back to source-image coordinates, so the
+    dump shows exactly the poses ``evaluate`` scores — per-image, all
+    instances together (crowding visible at a glance)."""
+    if not (cfg.DEBUG.DEBUG and cfg.DEBUG.SAVE_BATCH_IMAGES_PRED
+            and output_dir):
+        return
+    from rsgnet_tpu.utils.imageio import decode_image, read_bytes
+    from rsgnet_tpu.utils.vis import save_prediction_image
+    selected: dict = {}          # image_id -> (db indices, path)
+    for i, rec in enumerate(dataset.db):
+        img_id = int(rec["image_id"])
+        if img_id in selected:
+            selected[img_id][0].append(i)
+        elif len(selected) < max_images:
+            selected[img_id] = ([i], rec["image_path"])
+    for img_id, (idx, path) in selected.items():
+        image = decode_image(read_bytes(path), color_rgb=dataset.color_rgb)
+        preds = all_preds[idx]
+        save_prediction_image(
+            image, preds[:, :, :2], preds[:, :, 2], dataset.spec,
+            os.path.join(output_dir, "val_debug", f"pred_{img_id}.png"),
+            thresh=cfg.TEST.IN_VIS_THRE)
 
 
 def _evaluate_and_log(dataset, preds, boxes, ids, output_dir, logger):
@@ -247,5 +278,7 @@ def validate_distributed(cfg: Config, dataset, model, variables,
         pipeline=pipeline, infer_fn=infer_fn)
     preds, boxes, ids = gather_host_results((preds, boxes, ids),
                                             len(dataset))
+    if pid == 0:
+        _save_eval_debug(cfg, dataset, preds, output_dir)
     return _evaluate_and_log(dataset, preds, boxes, ids,
                              output_dir if pid == 0 else None, logger)

@@ -90,21 +90,32 @@ def test_evaluate_with_gt_preds_gives_ap1(fixture_root):
     assert name_value["AP .5"] == pytest.approx(1.0)
 
 
-def test_validate_end_to_end_runs(fixture_root):
-    """Full loop with an untrained tiny model: must run and return finite AP."""
+def test_validate_end_to_end_runs(fixture_root, tmp_path):
+    """Full loop with an untrained tiny model: must run and return finite AP.
+    DEBUG.* flags on + output_dir: the eval-path save_debug_images analogue
+    (reference validate() dumps prediction overlays) writes per-image pngs."""
+    import os
+
     import jax
     from rsgnet_tpu.core.validate import validate
     from rsgnet_tpu.models import get_pose_net
 
     cfg = make_cfg()
+    cfg.DEBUG.DEBUG = True
+    cfg.DEBUG.SAVE_BATCH_IMAGES_PRED = True
     ds = build(cfg, fixture_root)
     model = get_pose_net(cfg)
     h, w = cfg.MODEL.IMAGE_SIZE[1], cfg.MODEL.IMAGE_SIZE[0]
     variables = model.init(jax.random.PRNGKey(0),
                            np.zeros((1, h, w, 3), np.float32), train=False)
-    name_value, ap = validate(cfg, ds, model, variables, batch_size=4)
+    name_value, ap = validate(cfg, ds, model, variables, batch_size=4,
+                              output_dir=str(tmp_path))
     assert np.isfinite(ap)
     assert 0.0 <= name_value["AR"] <= 1.0 or name_value["AR"] == -1.0
+    debug_dir = tmp_path / "val_debug"
+    pngs = sorted(os.listdir(debug_dir))
+    assert pngs and all(p.startswith("pred_") and p.endswith(".png")
+                        for p in pngs)
 
 
 def test_validate_profile_steps_writes_xprof_trace(fixture_root, tmp_path):

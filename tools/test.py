@@ -45,6 +45,11 @@ def main():
                                           rank=jax.process_index())
     model = get_pose_net(cfg)
     variables = load_weights(cfg, model, cfg.TEST.MODEL_FILE)
+    if jax.process_index() == 0:
+        # the reference logs get_model_summary on a dump input at startup
+        from rsgnet_tpu.utils.summary import get_model_summary
+        logger.info("=> model summary\n%s",
+                    get_model_summary(cfg, model, variables))
     dataset = get_dataset(cfg, is_train=False)
     workers = cfg.WORKERS if args.workers is None else args.workers
     if jax.process_count() > 1:

@@ -66,6 +66,10 @@ def main():
         enable_nan_checks(True)
 
     model = get_pose_net(cfg)
+    if jax.process_index() == 0:
+        # the reference logs get_model_summary on a dump input at startup
+        from rsgnet_tpu.utils.summary import get_model_summary
+        logger.info("=> model summary\n%s", get_model_summary(cfg, model))
     train_ds = get_dataset(cfg, is_train=True)
     val_ds = get_dataset(cfg, is_train=False)
     state, best = fit(cfg, model, train_ds, val_ds, output_dir=output_dir,
