@@ -1,0 +1,237 @@
+"""Dynamic request batching for production serving.
+
+The model path is per-op-overhead bound at small batches (BENCH_NOTES
+batch-scaling tables): dispatching requests one-by-one leaves most of the
+chip idle, so a server must coalesce. ``DynamicBatcher`` implements the
+standard policy (the one docs/SERVING.md's operational notes prescribe):
+
+  - collect queued requests until the batch reaches ``max_batch`` instances
+    or ``max_wait_ms`` has elapsed since the oldest waiting request;
+  - pad to the engine's bucket and dispatch — JAX dispatch is async, so the
+    host thread is free immediately;
+  - keep up to ``in_flight`` dispatched batches pending and materialize
+    results on a separate completer thread, so the device starts batch k+1
+    while batch k's response bytes are still crossing back (the same
+    windowed-in-flight pattern as core/validate.py's eval loop);
+  - fan the materialized arrays back out to per-request futures.
+
+Latency/throughput knobs: ``max_wait_ms`` bounds the queueing delay a
+request can pay to help fill a batch (set ~= the per-batch step time;
+tools/profile_serving.py measures it); ``in_flight`` >= 2 hides the
+response round trip (diminishing returns beyond 3-4 — each slot pins one
+batch's buffers in HBM).
+"""
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Tuple
+
+import numpy as np
+
+from rsgnet_tpu.serving.engine import ServingEngine
+
+_STOP = object()
+
+
+@dataclass
+class _Pending:
+    images: np.ndarray
+    centers: np.ndarray
+    scales: np.ndarray
+    n: int
+    future: Future
+    t_submit: float = field(default_factory=time.perf_counter)
+
+
+class DynamicBatcher:
+    """Thread-safe request coalescing in front of a ``ServingEngine``.
+
+    ``submit`` never blocks on the device: it enqueues and returns a
+    ``concurrent.futures.Future`` resolving to ``(preds (n,K,2) float32,
+    maxvals (n,K,1) float32)`` host arrays for that request's instances.
+    """
+
+    def __init__(self, engine: ServingEngine, max_batch: int | None = None,
+                 max_wait_ms: float = 5.0, in_flight: int = 2):
+        if in_flight < 1:
+            raise ValueError("in_flight must be >= 1")
+        self.engine = engine
+        self.max_batch = min(max_batch or engine.max_batch, engine.max_batch)
+        self.max_wait_s = max_wait_ms / 1e3
+        self._q: queue.Queue = queue.Queue()
+        self._done_q: queue.Queue = queue.Queue()
+        self._slots = threading.Semaphore(in_flight)
+        self._closed = False
+        self._lock = threading.Lock()
+        self._n_requests = 0
+        self._n_batches = 0
+        self._n_instances = 0
+        self._latencies: list = []          # bounded, most recent first
+        self._dispatcher = threading.Thread(target=self._dispatch_loop,
+                                            name="batcher-dispatch",
+                                            daemon=True)
+        self._completer = threading.Thread(target=self._complete_loop,
+                                           name="batcher-complete",
+                                           daemon=True)
+        self._dispatcher.start()
+        self._completer.start()
+
+    # -- client side ---------------------------------------------------------
+
+    def submit(self, images, centers, scales) -> Future:
+        """Enqueue one request (1..max_batch instances); returns a Future."""
+        if self._closed:
+            raise RuntimeError("batcher is closed")
+        n = self.engine.validate(images, centers, scales)
+        if n > self.max_batch:
+            raise ValueError(f"request has {n} instances > max_batch "
+                             f"{self.max_batch}; split it client-side")
+        p = _Pending(np.asarray(images), np.asarray(centers, np.float32),
+                     np.asarray(scales, np.float32), n, Future())
+        with self._lock:
+            self._n_requests += 1
+        self._q.put(p)
+        return p.future
+
+    def predict(self, images, centers, scales, timeout: float | None = None
+                ) -> Tuple[np.ndarray, np.ndarray]:
+        """Blocking convenience wrapper: submit + result."""
+        return self.submit(images, centers, scales).result(timeout=timeout)
+
+    def stats(self) -> dict:
+        with self._lock:
+            lat = np.asarray(self._latencies, np.float64)
+            out = {"requests": self._n_requests,
+                   "batches": self._n_batches,
+                   "instances": self._n_instances,
+                   "mean_batch_fill": (self._n_instances
+                                       / max(self._n_batches, 1))}
+        if lat.size:
+            out["latency_p50_ms"] = float(np.percentile(lat, 50) * 1e3)
+            out["latency_p95_ms"] = float(np.percentile(lat, 95) * 1e3)
+        out["engine"] = self.engine.stats()
+        return out
+
+    def close(self, timeout: float = 60.0):
+        """Drain queued requests, stop both threads. Idempotent."""
+        if self._closed:
+            return
+        self._closed = True
+        self._q.put(_STOP)
+        self._dispatcher.join(timeout)
+        self._completer.join(timeout)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # -- dispatcher ------------------------------------------------------------
+
+    def _dispatch_loop(self):
+        carry = None                    # request that overflowed last group
+        stopping = False
+        while not stopping:
+            if carry is not None:
+                first, carry = carry, None
+            else:
+                first = self._q.get()
+                if first is _STOP:
+                    break
+            group, total = [first], first.n
+            deadline = first.t_submit + self.max_wait_s
+            while total < self.max_batch:
+                # greedy first: after a stall (all in-flight slots busy) the
+                # deadline may already be past while the queue holds a full
+                # batch — drain what is already here before giving up
+                try:
+                    nxt = self._q.get_nowait()
+                except queue.Empty:
+                    wait = deadline - time.perf_counter()
+                    if wait <= 0:
+                        break
+                    try:
+                        nxt = self._q.get(timeout=wait)
+                    except queue.Empty:
+                        break
+                if nxt is _STOP:
+                    stopping = True
+                    break
+                if total + nxt.n > self.max_batch:
+                    carry = nxt        # starts the next group
+                    break
+                group.append(nxt)
+                total += nxt.n
+            self._dispatch(group, total)
+        # drain anything still queued (close() guarantees completion)
+        leftovers = [carry] if carry is not None else []
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not _STOP:
+                leftovers.append(item)
+        while leftovers:
+            group, total = [], 0
+            while leftovers and total + leftovers[0].n <= self.max_batch:
+                p = leftovers.pop(0)
+                group.append(p)
+                total += p.n
+            self._dispatch(group, total)
+        self._done_q.put(_STOP)
+
+    def _dispatch(self, group, total):
+        self._slots.acquire()          # bounds batches in flight
+        try:
+            if len(group) == 1:
+                imgs, cs, ss = group[0].images, group[0].centers, \
+                    group[0].scales
+            else:
+                imgs = np.concatenate([g.images for g in group])
+                cs = np.concatenate([g.centers for g in group])
+                ss = np.concatenate([g.scales for g in group])
+            out = self.engine.run(imgs, cs, ss)   # async dispatch
+        except BaseException as e:
+            self._slots.release()
+            for g in group:
+                g.future.set_exception(e)
+            return
+        with self._lock:
+            self._n_batches += 1
+            self._n_instances += total
+        self._done_q.put((group, out))
+
+    # -- completer -------------------------------------------------------------
+
+    def _complete_loop(self):
+        while True:
+            item = self._done_q.get()
+            if item is _STOP:
+                return
+            group, (preds, maxvals) = item
+            try:
+                # blocks until the device finishes this batch
+                preds, maxvals = np.asarray(preds), np.asarray(maxvals)
+            except BaseException as e:
+                self._slots.release()
+                for g in group:
+                    g.future.set_exception(e)
+                continue
+            self._slots.release()
+            now = time.perf_counter()
+            off = 0
+            lats = []
+            for g in group:
+                g.future.set_result((preds[off:off + g.n],
+                                     maxvals[off:off + g.n]))
+                off += g.n
+                lats.append(now - g.t_submit)
+            with self._lock:
+                self._latencies.extend(lats)
+                del self._latencies[:-1000]      # keep the most recent 1000

@@ -133,3 +133,60 @@ def test_train_cli_smoke(fixture_root, tmp_path):
     # checkpoint written into the run dir
     run_dirs = list((tmp_path / "out").rglob("checkpoint.msgpack"))
     assert run_dirs, combined[-2000:]
+
+
+def test_serve_cli(fixture_root, tmp_path):
+    """tools/serve.py end-to-end in a fresh interpreter: warm buckets, bind,
+    answer /healthz and a real npz predict over the socket, exit cleanly on
+    SIGINT."""
+    import re
+    import signal
+    import time
+    import urllib.request
+
+    import numpy as np
+
+    cfg = write_tiny_yaml(tmp_path / "tiny.yaml", fixture_root)
+    env = dict(os.environ)
+    env.update(RSGNET_FORCE_PLATFORM="cpu", JAX_PLATFORMS="cpu",
+               JAX_COMPILATION_CACHE_DIR=os.path.join(
+                   REPO, ".jax_compile_cache"),
+               JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="0.5",
+               JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES="0")
+    proc = subprocess.Popen(
+        [sys.executable, "tools/serve.py", "--cfg", cfg, "--port", "0",
+         "--buckets", "1,2", "--max-wait-ms", "2"],
+        cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True)
+    url = None
+    try:
+        deadline = time.time() + 600
+        lines = []
+        while time.time() < deadline:          # warmup compiles first
+            line = proc.stderr.readline()
+            if not line and proc.poll() is not None:
+                break
+            lines.append(line)
+            m = re.search(r"serving on (http://[\d.]+:\d+)", line)
+            if m:
+                url = m.group(1)
+                break
+        assert url, "server never came up:\n" + "".join(lines)[-2000:]
+        with urllib.request.urlopen(url + "/healthz", timeout=30) as r:
+            assert r.read() == b"ok"
+        from rsgnet_tpu.serving.http_server import predict_remote
+        rng = np.random.default_rng(0)
+        preds, maxvals = predict_remote(
+            url, rng.integers(0, 256, (2, 96, 64, 3), dtype=np.uint8),
+            np.full((2, 2), 32.0, np.float32),
+            np.ones((2, 2), np.float32), timeout=120)
+        assert preds.shape == (2, 17, 2) and maxvals.shape == (2, 17, 1)
+        assert np.isfinite(preds).all()
+        proc.send_signal(signal.SIGINT)
+        out, err = proc.communicate(timeout=60)
+        assert proc.returncode == 0, err[-2000:]
+        assert "final stats" in err
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.communicate(timeout=30)

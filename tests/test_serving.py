@@ -1,0 +1,283 @@
+"""Serving runtime tests: bucketed engine, dynamic batcher, HTTP front.
+
+Ground truth everywhere is the direct per-request call of the SAME jitted
+inference fn — the runtime must be a pure transport: whatever requests go
+through coalescing/padding/pipelining must come back numerically equal
+(padding rows and batch-mates must never leak into a request's results;
+inference has no cross-batch ops, so equality is tight)."""
+import io
+import threading
+import time
+
+import jax
+import numpy as np
+import pytest
+
+from rsgnet_tpu.config.defaults import tiny_rsgnet
+from rsgnet_tpu.core.inference import make_inference_fn
+from rsgnet_tpu.models import get_pose_net
+from rsgnet_tpu.serving import DynamicBatcher, ServingEngine
+
+
+@pytest.fixture(scope="module")
+def served():
+    """(serve_fn, image_shape (H,W,3), direct) — tiny model, uint8 crops."""
+    cfg = tiny_rsgnet()
+    model = get_pose_net(cfg)
+    h, w = cfg.MODEL.IMAGE_SIZE[1], cfg.MODEL.IMAGE_SIZE[0]
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, h, w, 3), np.float32), train=False)
+    infer = make_inference_fn(cfg, model, normalize_input=True)
+
+    def serve_fn(images, centers, scales):
+        return infer(variables, images, centers, scales)
+
+    return serve_fn, (h, w, 3), cfg
+
+
+def random_request(rng, image_shape, n):
+    h, w, _ = image_shape
+    return (rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8),
+            rng.uniform(20, 40, (n, 2)).astype(np.float32),
+            rng.uniform(0.5, 1.5, (n, 2)).astype(np.float32))
+
+
+def direct(serve_fn, req):
+    preds, maxvals = serve_fn(*req)
+    return np.asarray(preds), np.asarray(maxvals)
+
+
+def test_engine_bucket_selection_and_validation(served):
+    serve_fn, image_shape, _ = served
+    eng = ServingEngine(serve_fn, buckets=(2, 4, 8),
+                        image_shape=image_shape, image_dtype=np.uint8)
+    assert [eng.bucket_for(n) for n in (1, 2, 3, 4, 5, 8)] == \
+        [2, 2, 4, 4, 8, 8]
+    with pytest.raises(ValueError, match="exceeds"):
+        eng.bucket_for(9)
+    with pytest.raises(ValueError, match="ascending"):
+        ServingEngine(serve_fn, buckets=(4, 2))
+    rng = np.random.default_rng(0)
+    imgs, cs, ss = random_request(rng, image_shape, 3)
+    with pytest.raises(ValueError, match="images must be"):
+        eng.run(imgs[:, :-8], cs, ss)            # wrong spatial size
+    with pytest.raises(ValueError, match="centers/scales"):
+        eng.run(imgs, cs[:2], ss)
+
+
+def test_engine_padding_matches_direct(served):
+    """n=3 padded to bucket 4: results equal the direct n=3 call."""
+    serve_fn, image_shape, _ = served
+    eng = ServingEngine(serve_fn, buckets=(4, 8), image_shape=image_shape,
+                        image_dtype=np.uint8)
+    rng = np.random.default_rng(1)
+    req = random_request(rng, image_shape, 3)
+    want_p, want_m = direct(serve_fn, req)
+    got_p, got_m = (np.asarray(x) for x in eng.run(*req))
+    assert got_p.shape == want_p.shape == (3, 17, 2)
+    np.testing.assert_allclose(got_p, want_p, atol=1e-5)
+    np.testing.assert_allclose(got_m, want_m, atol=1e-5)
+    assert eng.stats()["bucket_calls"][4] == 1
+
+
+def test_engine_warmup_compiles_buckets(served):
+    serve_fn, image_shape, _ = served
+    eng = ServingEngine(serve_fn, buckets=(1, 2), image_shape=image_shape,
+                        image_dtype=np.uint8)
+    eng.warmup()                                  # must not raise
+    assert eng.stats()["batches"] == 0            # warmup isn't traffic
+
+
+def test_batcher_sequential_matches_direct(served):
+    serve_fn, image_shape, _ = served
+    eng = ServingEngine(serve_fn, buckets=(1, 2, 4, 8),
+                        image_shape=image_shape, image_dtype=np.uint8)
+    rng = np.random.default_rng(2)
+    with DynamicBatcher(eng, max_wait_ms=1.0) as b:
+        for n in (1, 3, 2):
+            req = random_request(rng, image_shape, n)
+            want_p, want_m = direct(serve_fn, req)
+            got_p, got_m = b.predict(*req, timeout=300)
+            np.testing.assert_allclose(got_p, want_p, atol=1e-5)
+            np.testing.assert_allclose(got_m, want_m, atol=1e-5)
+        st = b.stats()
+    assert st["requests"] == 3 and st["instances"] == 6
+
+
+def test_batcher_concurrent_many_threads(served):
+    """24 mixed-size requests from 6 threads: every response equals its own
+    direct result — coalescing/padding/pipelining leak nothing across
+    requests; counters reconcile."""
+    serve_fn, image_shape, _ = served
+    eng = ServingEngine(serve_fn, buckets=(1, 2, 4, 8, 16),
+                        image_shape=image_shape, image_dtype=np.uint8)
+    rng = np.random.default_rng(3)
+    reqs = [random_request(rng, image_shape, int(n))
+            for n in rng.integers(1, 6, size=24)]
+    want = [direct(serve_fn, r) for r in reqs]
+    got = [None] * len(reqs)
+    errors = []
+    batcher = DynamicBatcher(eng, max_wait_ms=20.0, in_flight=2)
+
+    def worker(idxs):
+        try:
+            futs = [(i, batcher.submit(*reqs[i])) for i in idxs]
+            for i, f in futs:
+                got[i] = f.result(timeout=300)
+        except Exception as e:          # pragma: no cover - fail loudly
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker,
+                                args=(range(k, len(reqs), 6),))
+               for k in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    batcher.close()
+    assert not errors
+    for i, (want_p, want_m) in enumerate(want):
+        np.testing.assert_allclose(got[i][0], want_p, atol=1e-5,
+                                   err_msg=f"request {i}")
+        np.testing.assert_allclose(got[i][1], want_m, atol=1e-5,
+                                   err_msg=f"request {i}")
+    st = batcher.stats()
+    assert st["requests"] == len(reqs)
+    assert st["instances"] == sum(r[0].shape[0] for r in reqs)
+    assert st["batches"] <= st["requests"]
+    assert st["batches"] == st["engine"]["batches"]
+
+
+def test_batcher_coalesces_under_backpressure(served):
+    """While batch 1 holds the single in-flight slot, later submits queue up
+    and MUST form a shared batch (mean fill > 1), not dispatch singly."""
+    serve_fn, image_shape, _ = served
+    eng = ServingEngine(serve_fn, buckets=(1, 2, 4, 8, 16),
+                        image_shape=image_shape, image_dtype=np.uint8)
+    rng = np.random.default_rng(4)
+    batcher = DynamicBatcher(eng, max_wait_ms=50.0, in_flight=1)
+    first = batcher.submit(*random_request(rng, image_shape, 1))
+    # these queue while the first batch occupies the slot (or, worst case,
+    # within each other's wait window) — either way they share batches
+    time.sleep(0.05)
+    rest = [batcher.submit(*random_request(rng, image_shape, 2))
+            for _ in range(5)]
+    for f in [first] + rest:
+        f.result(timeout=300)
+    batcher.close()
+    st = batcher.stats()
+    assert st["requests"] == 6
+    assert st["batches"] < 6, f"no coalescing happened: {st}"
+    assert st["mean_batch_fill"] > 1.0
+
+
+def test_batcher_splits_over_max_batch(served):
+    """Requests totalling > max_batch roll into the next batch, results
+    still correct."""
+    serve_fn, image_shape, _ = served
+    eng = ServingEngine(serve_fn, buckets=(1, 2, 4),
+                        image_shape=image_shape, image_dtype=np.uint8)
+    rng = np.random.default_rng(5)
+    reqs = [random_request(rng, image_shape, 3) for _ in range(3)]  # 9 > 4
+    want = [direct(serve_fn, r) for r in reqs]
+    with DynamicBatcher(eng, max_wait_ms=10.0) as b:
+        futs = [b.submit(*r) for r in reqs]
+        got = [f.result(timeout=300) for f in futs]
+        st = b.stats()
+    assert st["batches"] >= 3                     # 3+3 never fits bucket 4
+    for g, (want_p, want_m) in zip(got, want):
+        np.testing.assert_allclose(g[0], want_p, atol=1e-5)
+    with pytest.raises(ValueError, match="max_batch"):
+        DynamicBatcher(eng).submit(*random_request(rng, image_shape, 5))
+
+
+def test_batcher_error_propagation_and_close(served):
+    serve_fn, image_shape, _ = served
+    eng = ServingEngine(serve_fn, buckets=(1, 2),
+                        image_shape=image_shape, image_dtype=np.uint8)
+    b = DynamicBatcher(eng, max_wait_ms=1.0)
+    rng = np.random.default_rng(6)
+    good = b.submit(*random_request(rng, image_shape, 1))
+    assert np.asarray(good.result(timeout=300)[0]).shape == (1, 17, 2)
+    # submit-side validation raises in the CALLER, nothing enqueued
+    imgs, cs, ss = random_request(rng, image_shape, 1)
+    with pytest.raises(ValueError):
+        b.submit(imgs[:, :-8], cs, ss)
+    # close drains pending work, then rejects new submissions
+    pending = b.submit(*random_request(rng, image_shape, 2))
+    b.close()
+    assert pending.result(timeout=1)[0].shape == (2, 17, 2)
+    with pytest.raises(RuntimeError, match="closed"):
+        b.submit(imgs, cs, ss)
+    b.close()                                     # idempotent
+
+
+def test_http_round_trip(served):
+    """Full stack over a real socket: npz request -> batched device
+    execution -> npz response equals the direct call; stats + healthz."""
+    import json
+    import urllib.request
+
+    from rsgnet_tpu.serving.http_server import make_server, predict_remote
+    serve_fn, image_shape, _ = served
+    eng = ServingEngine(serve_fn, buckets=(1, 2, 4),
+                        image_shape=image_shape, image_dtype=np.uint8)
+    batcher = DynamicBatcher(eng, max_wait_ms=5.0)
+    server = make_server(batcher, port=0)         # OS-assigned port
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    url = "http://%s:%d" % server.server_address
+    try:
+        rng = np.random.default_rng(7)
+        req = random_request(rng, image_shape, 2)
+        want_p, want_m = direct(serve_fn, req)
+        got_p, got_m = predict_remote(url, *req, timeout=300)
+        np.testing.assert_allclose(got_p, want_p, atol=1e-5)
+        np.testing.assert_allclose(got_m, want_m, atol=1e-5)
+        with urllib.request.urlopen(url + "/healthz", timeout=30) as r:
+            assert r.read() == b"ok"
+        with urllib.request.urlopen(url + "/v1/stats", timeout=30) as r:
+            st = json.loads(r.read())
+        assert st["requests"] == 1 and st["instances"] == 2
+        # malformed body -> 400, not a hung/killed connection
+        bad = urllib.request.Request(url + "/v1/predict", data=b"not-npz",
+                                     method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(bad, timeout=30)
+        assert ei.value.code == 400
+        # wrong shapes -> 400 with the validation message
+        buf = io.BytesIO()
+        np.savez(buf, images=np.zeros((1, 4, 4, 3), np.uint8),
+                 centers=np.zeros((1, 2), np.float32),
+                 scales=np.ones((1, 2), np.float32))
+        bad = urllib.request.Request(url + "/v1/predict",
+                                     data=buf.getvalue(), method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(bad, timeout=30)
+        assert ei.value.code == 400
+    finally:
+        server.shutdown()
+        server.server_close()
+        batcher.close()
+
+
+def test_engine_on_exported_artifact(served):
+    """The engine serves a StableHLO artifact (symbolic batch dim) the same
+    as the live fn — the deployment configuration docs/SERVING.md
+    recommends."""
+    serve_fn, image_shape, cfg = served
+    from rsgnet_tpu.utils.export import export_inference, load_exported
+    model = get_pose_net(cfg)
+    h, w = cfg.MODEL.IMAGE_SIZE[1], cfg.MODEL.IMAGE_SIZE[0]
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, h, w, 3), np.float32), train=False)
+    blob = export_inference(cfg, model, variables, normalize_input=True)
+    eng = ServingEngine(load_exported(blob), buckets=(2,),
+                        image_shape=image_shape, image_dtype=np.uint8)
+    rng = np.random.default_rng(8)
+    req = random_request(rng, image_shape, 1)
+    want_p, want_m = direct(serve_fn, req)
+    with DynamicBatcher(eng, max_wait_ms=1.0) as b:
+        got_p, got_m = b.predict(*req, timeout=300)
+    np.testing.assert_allclose(got_p, want_p, atol=1e-5)
+    np.testing.assert_allclose(got_m, want_m, atol=1e-5)

@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Offered-load profile of the dynamic-batching serving runtime.
+
+tools/profile_serving.py measures the DEVICE's latency/throughput knee per
+batch size; this tool measures the SERVER: closed-loop clients (each submits
+one single-crop request, waits for the response, repeats) drive the full
+``ServingEngine`` + ``DynamicBatcher`` stack, sweeping client counts. The
+interesting outputs per concurrency level:
+
+  - goodput (responses/s) — should climb toward the device's batch knee as
+    the batcher coalesces more singles per dispatch;
+  - request latency p50/p95 — queueing + batching + compute + response;
+  - mean batch fill — how many instances the coalescer actually packs.
+
+On the tunneled axon backend, per-dispatch RTT (~30 ms) dominates small
+fills; direct-attached serving sees the same shapes minus the floor
+(BENCH_NOTES tunnel rules — never compare across sessions).
+
+Run on the real TPU:  python tools/profile_batcher.py [--clients 1,8,32,128]
+"""
+from __future__ import annotations
+
+import argparse
+import threading
+import time
+
+import numpy as np
+
+import _init_paths  # noqa: F401
+
+
+def run_level(batcher, image_shape, clients: int, seconds: float):
+    """Closed-loop: ``clients`` threads, one in-flight request each."""
+    rng = np.random.default_rng(0)
+    h, w, _ = image_shape
+    img = rng.integers(0, 256, (1, h, w, 3), dtype=np.uint8)
+    center = np.full((1, 2), 100.0, np.float32)
+    scale = np.full((1, 2), 1.0, np.float32)
+    stop = time.perf_counter() + seconds
+    lats, lock = [], threading.Lock()
+
+    def client():
+        mine = []
+        while time.perf_counter() < stop:
+            t0 = time.perf_counter()
+            batcher.predict(img, center, scale, timeout=120)
+            mine.append(time.perf_counter() - t0)
+        with lock:
+            lats.extend(mine)
+
+    threads = [threading.Thread(target=client) for _ in range(clients)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    dt = time.perf_counter() - t0
+    lat = np.asarray(lats)
+    return {"clients": clients, "responses": len(lats),
+            "goodput_rps": len(lats) / dt,
+            "p50_ms": float(np.percentile(lat, 50) * 1e3),
+            "p95_ms": float(np.percentile(lat, 95) * 1e3)}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--clients", default="1,4,16,64,256")
+    p.add_argument("--seconds", type=float, default=8.0)
+    p.add_argument("--max-wait-ms", type=float, default=8.0)
+    p.add_argument("--in-flight", type=int, default=3)
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny model (CPU smoke); default flagship W32")
+    args = p.parse_args()
+
+    import jax
+    from rsgnet_tpu.config.defaults import rsgnet_w32_256x192, tiny_rsgnet
+    from rsgnet_tpu.core.inference import make_inference_fn
+    from rsgnet_tpu.models import get_pose_net
+    from rsgnet_tpu.serving import DynamicBatcher, ServingEngine
+
+    cfg = tiny_rsgnet() if args.tiny else rsgnet_w32_256x192()
+    model = get_pose_net(cfg)
+    h, w = cfg.MODEL.IMAGE_SIZE[1], cfg.MODEL.IMAGE_SIZE[0]
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, h, w, 3), np.float32), train=False)
+    infer = make_inference_fn(cfg, model, normalize_input=True)
+
+    def serve_fn(images, centers, scales):
+        return infer(variables, images, centers, scales)
+
+    image_shape = (h, w, 3)
+    engine = ServingEngine(serve_fn, buckets=(1, 2, 4, 8, 16, 32, 64, 128,
+                                              256),
+                           image_shape=image_shape, image_dtype=np.uint8)
+    print(f"compiling {len(engine.buckets)} buckets "
+          f"({cfg.MODEL.NAME} @ {w}x{h}, backend "
+          f"{jax.devices()[0].platform})...")
+    engine.warmup()
+    print(f"{'clients':>8} {'goodput':>10} {'p50 ms':>8} {'p95 ms':>8} "
+          f"{'fill':>6} {'batches':>8}")
+    for c in (int(x) for x in args.clients.split(",")):
+        batcher = DynamicBatcher(engine, max_wait_ms=args.max_wait_ms,
+                                 in_flight=args.in_flight)
+        r = run_level(batcher, image_shape, c, args.seconds)
+        batcher.close()
+        st = batcher.stats()
+        print(f"{r['clients']:>8} {r['goodput_rps']:>10.1f} "
+              f"{r['p50_ms']:>8.1f} {r['p95_ms']:>8.1f} "
+              f"{st['mean_batch_fill']:>6.1f} {st['batches']:>8}")
+
+
+if __name__ == "__main__":
+    main()
