@@ -281,3 +281,43 @@ def test_engine_on_exported_artifact(served):
         got_p, got_m = b.predict(*req, timeout=300)
     np.testing.assert_allclose(got_p, want_p, atol=1e-5)
     np.testing.assert_allclose(got_m, want_m, atol=1e-5)
+
+
+def test_batcher_over_sharded_mesh(served):
+    """Multi-chip serving: the engine wraps a data-parallel sharded infer fn
+    (8 virtual devices); buckets are multiples of the mesh size so every
+    padded batch divides evenly, and results still equal the single-device
+    direct call (docs/SERVING.md multi-chip note, made concrete)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rsgnet_tpu.parallel.mesh import make_mesh
+    serve_fn, image_shape, cfg = served
+    mesh = make_mesh(axis_name="data")
+    if mesh.size < 2:
+        pytest.skip("needs the 8-virtual-device CPU mesh")
+    model = get_pose_net(cfg)
+    h, w, _ = image_shape
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, h, w, 3), np.float32), train=False)
+    infer = make_inference_fn(cfg, model, jit=False, normalize_input=True)
+    shard = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    sharded = jax.jit(infer, in_shardings=(repl, shard, shard, shard),
+                      out_shardings=(shard, shard))
+    variables = jax.device_put(variables, repl)
+
+    def serve_sharded(images, centers, scales):
+        return sharded(variables, images, centers, scales)
+
+    n = mesh.size
+    eng = ServingEngine(serve_sharded, buckets=(n, 2 * n),
+                        image_shape=image_shape, image_dtype=np.uint8)
+    rng = np.random.default_rng(9)
+    reqs = [random_request(rng, image_shape, k) for k in (1, 3, 5)]
+    want = [direct(serve_fn, r) for r in reqs]
+    with DynamicBatcher(eng, max_wait_ms=10.0) as b:
+        futs = [b.submit(*r) for r in reqs]
+        got = [f.result(timeout=300) for f in futs]
+    for g, (want_p, want_m) in zip(got, want):
+        np.testing.assert_allclose(g[0], want_p, atol=1e-5)
+        np.testing.assert_allclose(g[1], want_m, atol=1e-5)

@@ -160,3 +160,57 @@ def test_torch_import_direction_matches_oracle():
     theirs = np.transpose(theirs, (0, 2, 3, 1))
     err = np.abs(ours - theirs).max()
     assert err <= 1e-4 * max(np.abs(theirs).max(), 1.0), f"max abs err {err}"
+
+
+def _random_topology_cfg(seed):
+    """A random point in the architecture space the config schema admits:
+    modules/blocks/channels all drawn per stage, with a forced cross-stage
+    channel MISMATCH on branch 0 — that exercises the transition conv on an
+    EXISTING branch (reference transition layers insert a 3x3 ConvBN when
+    the incoming branch's width differs), a path W32/W48 never hit because
+    their stage widths repeat."""
+    rng = np.random.RandomState(seed)
+    cfg = Config()
+    cfg.DTYPE = "float32"
+    cfg.MODEL.NUM_JOINTS = int(rng.randint(3, 9))
+    cfg.MODEL.IMAGE_SIZE = (64, 96)
+    cfg.MODEL.HEATMAP_SIZE = (16, 24)
+
+    def chans(n):
+        return [int(rng.choice([4, 8, 12, 16])) for _ in range(n)]
+
+    def blocks(n):
+        return tuple(int(rng.randint(1, 3)) for _ in range(n))
+
+    c2, c3, c4 = chans(2), chans(3), chans(4)
+    if c3[0] == c2[0]:
+        c3[0] += 4                       # force the existing-branch conv
+    cfg.MODEL.EXTRA = ModelExtra(
+        STAGE2=StageConfig(int(rng.randint(1, 3)), 2, blocks(2), tuple(c2)),
+        STAGE3=StageConfig(int(rng.randint(1, 3)), 3, blocks(3), tuple(c3)),
+        STAGE4=StageConfig(1, 4, blocks(4), tuple(c4)),
+    )
+    return cfg
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_random_topology_matches_torch_oracle(seed):
+    """Topology fuzz: random configs must agree with the independent torch
+    mirror too — the parity evidence covers the config SPACE, not just the
+    two published instantiations."""
+    cfg = _random_topology_cfg(seed)
+    model, variables = _randomized_variables(cfg, 50 + seed)
+    sd = export_state_dict(cfg, variables["params"], variables["batch_stats"])
+
+    rng = np.random.RandomState(200 + seed)
+    h, w = cfg.MODEL.IMAGE_SIZE[1], cfg.MODEL.IMAGE_SIZE[0]
+    x = rng.uniform(-2, 2, (2, h, w, 3)).astype(np.float32)
+
+    ours = _flax_forward(cfg, model, variables, x)
+    theirs = np.transpose(torch_forward(cfg, sd,
+                                        np.transpose(x, (0, 3, 1, 2))),
+                          (0, 2, 3, 1))
+    assert ours.shape == theirs.shape == (2, 24, 16, cfg.MODEL.NUM_JOINTS)
+    err = np.abs(ours - theirs).max()
+    scale = max(np.abs(theirs).max(), 1.0)
+    assert err <= 1e-4 * scale, f"max abs err {err} (output scale {scale})"

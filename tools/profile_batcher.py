@@ -65,6 +65,8 @@ def run_level(batcher, image_shape, clients: int, seconds: float):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--clients", default="1,4,16,64,256")
+    p.add_argument("--buckets", default="1,2,4,8,16,32,64,128,256",
+                   help="engine buckets (each costs one compile at startup)")
     p.add_argument("--seconds", type=float, default=8.0)
     p.add_argument("--max-wait-ms", type=float, default=8.0)
     p.add_argument("--in-flight", type=int, default=3)
@@ -89,8 +91,8 @@ def main():
         return infer(variables, images, centers, scales)
 
     image_shape = (h, w, 3)
-    engine = ServingEngine(serve_fn, buckets=(1, 2, 4, 8, 16, 32, 64, 128,
-                                              256),
+    buckets = tuple(int(b) for b in args.buckets.split(","))
+    engine = ServingEngine(serve_fn, buckets=buckets,
                            image_shape=image_shape, image_dtype=np.uint8)
     print(f"compiling {len(engine.buckets)} buckets "
           f"({cfg.MODEL.NAME} @ {w}x{h}, backend "
