@@ -76,6 +76,12 @@ class ModelConfig:
     IMAGE_SIZE: Tuple[int, int] = (192, 256)     # (w, h)
     HEATMAP_SIZE: Tuple[int, int] = (48, 64)     # (w, h)
     SIGMA: int = 2
+    # TPU-native addition: execute the first stem conv (C_in=3, MXU-hostile)
+    # as space-to-depth(2) + a smaller stride-1 conv with zero-padded
+    # regrouped weights — same math to reduction-order rounding, identical
+    # param tree (models/hrnet.py::_space_to_depth_conv). Applies to the
+    # HRNet 3x3 stem and the pose_resnet 7x7 stem.
+    S2D_STEM: bool = False
     EXTRA: ModelExtra = field(default_factory=_w32_extra)
     RSG: RSGConfig = field(default_factory=RSGConfig)
 

@@ -20,8 +20,9 @@ leaves stage4) -> final 1x1 conv W -> K heatmaps.
 """
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -30,20 +31,74 @@ from rsgnet_tpu.config.defaults import Config, StageConfig
 BN_MOMENTUM = 0.9   # flax EMA momentum == 1 - torch momentum (0.1)
 
 
+class _ConvKernel(nn.Module):
+    """Holds a conv kernel param under the SAME tree path nn.Conv uses
+    (<parent>/conv/kernel), so execution-strategy variants of a conv keep
+    checkpoints, the torch converter, and exports byte-compatible."""
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          self.shape)
+
+
+def _space_to_depth_conv(x, kernel, dtype):
+    """Odd-k/stride-2/SAME conv executed as space-to-depth(2) + a smaller
+    stride-1 conv.
+
+    The MXU loads input channels in 128-lane blocks, so a C_in=3 stem conv
+    wastes ~98% of the systolic array's input dimension; packing 2x2 pixel
+    blocks into channels (C_in=12) before the matmul recovers 4x of that.
+    The k x k kernel is zero-padded to (k+1) x (k+1) (one row/col at the
+    top/left — the taps that fall outside the 2x2 block lattice) and
+    regrouped into a ((k+1)/2)^2 kernel over the block grid, so every
+    output is the SAME sum of products: exact up to reduction-order
+    rounding. Param tree is untouched (same (k,k,C,O) kernel); the
+    rearrangement is traced into the program. Covers both stems in this
+    repo: HRNet 3x3 (-> 2x2 on blocks) and pose_resnet 7x7 (-> 4x4).
+    """
+    b, h, w, c = x.shape
+    k = kernel.shape[0]
+    if h % 2 or w % 2:
+        raise ValueError(f"s2d stem needs even input dims, got {h}x{w}")
+    z = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    z = z.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+    nblk = (k + 1) // 2
+    kpad = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+    k2 = kpad.reshape(nblk, 2, nblk, 2, c, kernel.shape[-1])  # (bi,u,bj,v,c,o)
+    k2 = k2.transpose(0, 2, 1, 3, 4, 5).reshape(nblk, nblk, 4 * c, -1)
+    pad_lo = nblk // 2
+    pad_hi = nblk - 1 - pad_lo
+    return jax.lax.conv_general_dilated(
+        z, k2.astype(dtype), window_strides=(1, 1),
+        padding=((pad_lo, pad_hi), (pad_lo, pad_hi)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class ConvBN(nn.Module):
     features: int
     kernel: int = 3
     stride: int = 1
     relu: bool = True
     dtype: Any = jnp.float32
+    s2d: bool = False    # space-to-depth execution (3x3/stride-2 convs only)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         pad = (self.kernel - 1) // 2
-        x = nn.Conv(self.features, (self.kernel, self.kernel),
-                    strides=(self.stride, self.stride),
-                    padding=[(pad, pad), (pad, pad)], use_bias=False,
-                    dtype=self.dtype, name="conv")(x)
+        if self.s2d:
+            if self.kernel % 2 == 0 or self.stride != 2:
+                raise ValueError("s2d execution requires an odd-kernel "
+                                 "stride-2 conv")
+            k = _ConvKernel((self.kernel, self.kernel, x.shape[-1],
+                             self.features), name="conv")()
+            x = _space_to_depth_conv(x, k, self.dtype)
+        else:
+            x = nn.Conv(self.features, (self.kernel, self.kernel),
+                        strides=(self.stride, self.stride),
+                        padding=[(pad, pad), (pad, pad)], use_bias=False,
+                        dtype=self.dtype, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
                          epsilon=1e-5, dtype=jnp.float32, name="bn")(x)
         if self.relu:
@@ -208,8 +263,11 @@ class PoseHighResolutionNet(nn.Module):
         extra = cfg.MODEL.EXTRA
         x = x.astype(self.dtype)
 
-        # stem
-        x = ConvBN(64, 3, 2, dtype=self.dtype, name="stem1")(x, train)
+        # stem — stem1 optionally executes as space-to-depth (C_in=3 is
+        # MXU-hostile; MODEL.S2D_STEM re-expresses it exactly, see
+        # _space_to_depth_conv); stem2 has C_in=64 and stays a plain conv
+        x = ConvBN(64, 3, 2, dtype=self.dtype, s2d=cfg.MODEL.S2D_STEM,
+                   name="stem1")(x, train)
         x = ConvBN(64, 3, 2, dtype=self.dtype, name="stem2")(x, train)
         # layer1: 4 x Bottleneck(64) -> 256ch
         for b in range(4):

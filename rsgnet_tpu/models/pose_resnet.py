@@ -96,8 +96,11 @@ class PoseResNet(nn.Module):
         blk = BLOCKS[block_name]
         x = x.astype(self.dtype)
 
-        # stem: 7x7 stride-2 conv (pad 3) + BN + ReLU, 3x3 stride-2 maxpool
-        x = ConvBN(64, 7, 2, dtype=self.dtype, name="stem")(x, train)
+        # stem: 7x7 stride-2 conv (pad 3) + BN + ReLU, 3x3 stride-2 maxpool;
+        # MODEL.S2D_STEM re-expresses the C_in=3 conv exactly via
+        # space-to-depth (hrnet.py::_space_to_depth_conv)
+        x = ConvBN(64, 7, 2, dtype=self.dtype, s2d=cfg.MODEL.S2D_STEM,
+                   name="stem")(x, train)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
         # layer1..4: channel widths 64/128/256/512, stride 1/2/2/2; the
