@@ -133,6 +133,12 @@ class TrainConfig:
     # (jax.checkpoint) — trades recompute FLOPs for activation HBM, enabling
     # larger per-chip batches.
     REMAT: bool = False
+    # TPU-native addition: graceful preemption. On SIGTERM, finish the
+    # in-flight step, write a MID-epoch checkpoint (batch_in_epoch payload
+    # field) and return; AUTO_RESUME re-enters the same epoch at the same
+    # batch, bitwise-identical to an uninterrupted run
+    # (core/function.py::PreemptionGuard).
+    PREEMPT_CHECKPOINT: bool = True
     # TPU-native addition: training input pipeline backend.
     # "threads" = in-process ThreadPool BatchLoader; "grain" = grain-backed
     # loader with worker processes (deterministic shuffle, checkpointable).

@@ -15,6 +15,8 @@ The reference ``lib/core/function.py`` + ``tools/train.py`` orchestration
 from __future__ import annotations
 
 import os
+import signal
+import threading
 import time
 
 import jax
@@ -32,14 +34,78 @@ from rsgnet_tpu.utils.logger import AverageMeter
 from rsgnet_tpu.utils.profiler import StepTraceWindow
 
 
+class PreemptionGuard:
+    """Graceful-preemption hook for ``fit`` (TRAIN.PREEMPT_CHECKPOINT).
+
+    TPU pods (and spot VMs generally) get a SIGTERM plus a short grace
+    window before eviction. The reference's only answer is AUTO_RESUME from
+    the last epoch boundary — a preemption late in an epoch loses the whole
+    epoch. With the guard installed, ``fit`` finishes the in-flight step,
+    writes a MID-epoch checkpoint (``batch_in_epoch`` in the payload) and
+    returns cleanly; ``auto_resume`` re-enters the same epoch at the same
+    batch, and because the per-step RNG and shuffle order are pure functions
+    of (epoch, step), the resumed run is bitwise-identical to an
+    uninterrupted one (tests/test_preemption.py).
+
+    ``install()`` is main-thread-only (CPython signal rule); elsewhere the
+    guard still works via ``request_stop()``. Multi-process DP note: install
+    assumes the scheduler signals EVERY process (the normal broadcast
+    behavior); rank 0 writes the checkpoint. A process that stops one step
+    before its peers leaves them blocked in the next collective — harmless
+    under eviction (the job is dying), but do not use request_stop for
+    selective single-process shutdown of a live multi-process run.
+    """
+
+    def __init__(self, signals=(signal.SIGTERM,)):
+        self._signals = tuple(signals)
+        self._stop = threading.Event()
+        self._previous = None
+
+    def install(self):
+        if threading.current_thread() is not threading.main_thread():
+            return self                 # signal API is main-thread-only
+        self._previous = [(s, signal.getsignal(s)) for s in self._signals]
+        for s in self._signals:
+            signal.signal(s, lambda signum, frame: self.request_stop())
+        return self
+
+    def uninstall(self):
+        for s, prev in self._previous or ():
+            signal.signal(s, prev)
+        self._previous = None
+
+    def request_stop(self):
+        self._stop.set()
+
+    @property
+    def stop_requested(self) -> bool:
+        return self._stop.is_set()
+
+    def should_stop(self, step: int) -> bool:
+        """Consulted by the train loop before dispatching ``step``.
+        Subclass for deterministic test injection."""
+        return self.stop_requested
+
+
 def train_one_epoch(step_fn, state, loader, rng, epoch, shard, logger=None,
                     print_freq=100, cfg=None, debug_dir=None,
-                    profile=None):
-    """Returns (state, mean_loss). Device ahead of host via prefetch.
+                    profile=None, start_step=0, guard=None):
+    """Returns (state, mean_loss, steps_done, stopped). Device ahead of
+    host via prefetch.
 
     ``profile``: optional ``(logdir, n_steps)`` — capture an xprof trace of
     ``n_steps`` steady-state steps via ``StepTraceWindow`` (starts after
     step 0, so compilation and warmup are excluded; fenced edges).
+
+    ``start_step``: mid-epoch resume offset — the loader must already be
+    positioned there (``set_position``); the per-step RNG is
+    ``fold_in(rng, step)``, a pure function of the ABSOLUTE step index, so
+    a resumed epoch consumes exactly the streams the uninterrupted one
+    would. ``steps_done`` counts absolute steps (start_step + completed).
+
+    ``guard``: optional ``PreemptionGuard`` — checked before each dispatch;
+    when it fires the loop drains the in-flight metrics and returns with
+    ``stopped=True`` (the caller writes the mid-epoch checkpoint).
     """
     batch_time = AverageMeter()
     losses = AverageMeter()
@@ -47,11 +113,18 @@ def train_one_epoch(step_fn, state, loader, rng, epoch, shard, logger=None,
     end = time.perf_counter()
     pending = None                    # lazily-read metrics (1-step delay)
     n = 0
+    bs = 0
+    steps_done = start_step
+    stopped = False
     tracer = (StepTraceWindow(profile[0], profile[1], logger=logger)
               if profile is not None else None)
     try:
         for i, batch in enumerate(device_prefetch(iter(loader),
                                                   sharding=shard)):
+            step = start_step + i
+            if guard is not None and guard.should_stop(step):
+                stopped = True
+                break
             if tracer is not None:
                 # the threaded state is the fence: it is an output of every
                 # dispatched step, so its readiness marks them complete
@@ -61,8 +134,11 @@ def train_one_epoch(step_fn, state, loader, rng, epoch, shard, logger=None,
             batch.pop("score", None)
             batch.pop("factor", None)  # eval-only: targets live in crop space
             batch.pop("offset", None)
-            rng, sub = jax.random.split(rng)
+            # pure function of (epoch rng, absolute step) — NOT a running
+            # split chain — so a mid-epoch resume replays identical streams
+            sub = jax.random.fold_in(rng, step)
             state, metrics = step_fn(state, batch, sub)
+            steps_done = step + 1
             bs = batch["image"].shape[0]
             n += bs
             if pending is not None:
@@ -72,26 +148,28 @@ def train_one_epoch(step_fn, state, loader, rng, epoch, shard, logger=None,
             batch_time.update(time.perf_counter() - end)
             end = time.perf_counter()
             if (cfg is not None and cfg.DEBUG.DEBUG and debug_dir
-                    and i % print_freq == 0 and "debug" in metrics):
+                    and step % print_freq == 0 and "debug" in metrics):
                 from rsgnet_tpu.utils.vis import save_debug_images
                 d = {k: np.asarray(v) for k, v in metrics["debug"].items()}
                 save_debug_images(cfg, d["inputs"], d["joints"],
                                   d["joints_vis"], d["target"], d["output"],
-                                  f"{debug_dir}/train_e{epoch}_i{i}")
-            if logger and i % print_freq == 0:
+                                  f"{debug_dir}/train_e{epoch}_i{step}")
+            if logger and step % print_freq == 0:
                 logger.info(
                     "Epoch [%d][%d/%d] time %.3fs (%.3f) loss %.5f (%.5f) "
                     "acc %.3f (%.3f) %.1f img/s",
-                    epoch, i, len(loader), batch_time.val, batch_time.avg,
+                    epoch, step, len(loader), batch_time.val, batch_time.avg,
                     losses.val, losses.avg, accs.val, accs.avg,
                     bs / max(batch_time.avg, 1e-9))
     finally:
         if tracer is not None:        # short epoch OR a raising loop: the
             tracer.close(state)       # trace is flushed either way
     if pending is not None:
+        # drains the in-flight step — after this the state/metrics are
+        # materializable, so a preemption save reads a settled step count
         losses.update(float(pending["loss"]), bs)
         accs.update(float(pending["acc"]), bs)
-    return state, losses.avg
+    return state, losses.avg, steps_done, stopped
 
 
 def _make_tb_writer(tb_dir):
@@ -109,7 +187,8 @@ def _make_tb_writer(tb_dir):
 def fit(cfg: Config, model, train_dataset, val_dataset=None,
         output_dir: str = "output", logger=None, num_workers: int = 8,
         mesh=None, max_epochs=None, eval_every: int = 1,
-        init_state=None, tb_dir=None, profile_steps: int = 0):
+        init_state=None, tb_dir=None, profile_steps: int = 0,
+        preempt_guard=None):
     """Full training run. Returns (state, best_perf).
 
     ``profile_steps``: when > 0, capture a ``jax.profiler`` (xprof) trace of
@@ -117,6 +196,13 @@ def fit(cfg: Config, model, train_dataset, val_dataset=None,
     ``<output_dir>/xprof`` (process 0 only — each process traces its local
     devices, and process 0 owns file outputs). View with TensorBoard's
     profile plugin.
+
+    ``preempt_guard``: optional ``PreemptionGuard``. When None and
+    TRAIN.PREEMPT_CHECKPOINT is on (single-process, main thread), fit
+    installs one on SIGTERM: the loop stops at the next step boundary,
+    writes a MID-epoch checkpoint and returns; AUTO_RESUME re-enters the
+    same epoch at the same batch, bitwise-identical to an uninterrupted
+    run (tests/test_preemption.py).
 
     Multi-process (multi-host DP): when ``jax.process_count() > 1`` (the
     launcher called ``initialize_distributed``), the mesh spans every
@@ -185,16 +271,19 @@ def fit(cfg: Config, model, train_dataset, val_dataset=None,
                       in_shardings=(repl, batch_shardings, repl),
                       donate_argnums=(0,))
 
-    begin_epoch, best_perf = cfg.TRAIN.BEGIN_EPOCH, 0.0
+    begin_epoch, best_perf, start_batch = cfg.TRAIN.BEGIN_EPOCH, 0.0, 0
     auto_resumed = False
     if cfg.TRAIN.AUTO_RESUME:
-        state, resumed_epoch, resumed_perf = auto_resume(output_dir, state)
-        auto_resumed = resumed_epoch > 0
+        state, resumed_epoch, resumed_perf, start_batch = auto_resume(
+            output_dir, state)
+        auto_resumed = resumed_epoch > 0 or start_batch > 0
         if auto_resumed:
             begin_epoch, best_perf = resumed_epoch, resumed_perf
             if logger:
-                logger.info("auto-resumed at epoch %d (best %.4f)",
-                            begin_epoch, best_perf)
+                logger.info("auto-resumed at epoch %d%s (best %.4f)",
+                            begin_epoch,
+                            f" batch {start_batch}" if start_batch else "",
+                            best_perf)
     if not auto_resumed and cfg.TRAIN.RESUME:
         # reference TRAIN.RESUME semantics: no output-dir checkpoint found
         # (auto-resume takes precedence), resume from the explicit
@@ -202,8 +291,9 @@ def fit(cfg: Config, model, train_dataset, val_dataset=None,
         if not cfg.TRAIN.CHECKPOINT:
             raise ValueError("TRAIN.RESUME=true requires TRAIN.CHECKPOINT")
         from rsgnet_tpu.utils.checkpoint import load_checkpoint
-        state, epoch, best_perf = load_checkpoint(cfg.TRAIN.CHECKPOINT, state)
-        begin_epoch = epoch + 1
+        state, epoch, best_perf, start_batch = load_checkpoint(
+            cfg.TRAIN.CHECKPOINT, state)
+        begin_epoch = epoch if start_batch > 0 else epoch + 1
         if logger:
             logger.info("resumed from TRAIN.CHECKPOINT=%s at epoch %d "
                         "(best %.4f)", cfg.TRAIN.CHECKPOINT, begin_epoch,
@@ -230,59 +320,99 @@ def fit(cfg: Config, model, train_dataset, val_dataset=None,
         val_infer = make_validate_infer_fn(cfg, model, val_dataset,
                                            mesh=val_mesh)
     end_epoch = min(cfg.TRAIN.END_EPOCH, max_epochs or cfg.TRAIN.END_EPOCH)
-    # Per-epoch streams are pure functions of the epoch NUMBER (fold_in), not
-    # of a running split chain, and the loader's shuffle order is pinned to
-    # the same epoch number — so a run killed at any epoch boundary and
-    # auto-resumed is bitwise-identical to an uninterrupted run
-    # (tests/test_resume_equivalence.py).
+    # RNG streams are pure functions of POSITION — fold_in(base, epoch) per
+    # epoch, fold_in(erng, step) per step — and the loader's shuffle order
+    # is pinned to the same epoch number, so a run killed at ANY step
+    # boundary and auto-resumed is bitwise-identical to an uninterrupted
+    # run (tests/test_resume_equivalence.py, tests/test_preemption.py).
     base_rng = jax.random.PRNGKey(0)
-    for epoch in range(begin_epoch, end_epoch):
-        erng = jax.random.fold_in(base_rng, epoch)
-        if hasattr(loader, "set_epoch"):
-            loader.set_epoch(epoch)
-        prof = None
-        if profile_steps > 0 and epoch == begin_epoch and is_main:
-            prof = (os.path.join(output_dir, "xprof"), profile_steps)
-        state, loss = train_one_epoch(step_fn, state, loader, erng, epoch,
-                                      shard, logger, cfg.PRINT_FREQ,
-                                      cfg=cfg,
-                                      # debug tensors are batch-sharded
-                                      # across processes — fetchable only
-                                      # single-process
-                                      debug_dir=output_dir if nproc == 1
-                                      else None, profile=prof)
-        perf = 0.0
-        validated = (val_dataset is not None
-                     and (epoch + 1) % eval_every == 0)
-        if validated:
-            variables = {"params": state.params,
-                         "batch_stats": state.batch_stats}
-            if nproc == 1:
-                _, perf = validate(cfg, val_dataset, model, variables,
-                                   output_dir=output_dir, logger=logger,
-                                   num_workers=num_workers, mesh=mesh,
-                                   infer_fn=val_infer)
-            else:
-                # every process computes the identical AP (results gathered
-                # host-side), so best_perf / is_best stay consistent
-                from rsgnet_tpu.core.validate import validate_distributed
-                _, perf = validate_distributed(
-                    cfg, val_dataset, model, variables,
-                    output_dir=output_dir, logger=logger,
-                    num_workers=num_workers, infer_fn=val_infer)
-        # best is only meaningful on epochs that actually evaluated
-        is_best = validated and perf >= best_perf
-        best_perf = max(best_perf, perf)
-        if is_main:
-            saver(output_dir, state, epoch, perf, is_best,
-                  best_perf=best_perf)
-        if writer:
-            writer.write_scalars(epoch, {"train_loss": loss,
-                                         "valid_AP": perf,
-                                         "best_AP": best_perf})
-        if logger:
-            logger.info("epoch %d: loss %.5f perf %.4f best %.4f",
-                        epoch, loss, perf, best_perf)
+    guard = preempt_guard
+    owns_guard = False
+    if (guard is None and cfg.TRAIN.PREEMPT_CHECKPOINT and nproc == 1
+            and threading.current_thread() is threading.main_thread()):
+        guard = PreemptionGuard().install()
+        owns_guard = True
+    stopped = False
+    try:
+        for epoch in range(begin_epoch, end_epoch):
+            erng = jax.random.fold_in(base_rng, epoch)
+            start_step = start_batch if epoch == begin_epoch else 0
+            if start_step and not hasattr(loader, "set_position"):
+                if logger:
+                    logger.warning(
+                        "loader %s lacks set_position; restarting epoch %d "
+                        "from batch 0 (re-trains %d batches)",
+                        type(loader).__name__, epoch, start_step)
+                start_step = 0
+            if start_step:
+                loader.set_position(epoch, start_step)
+            elif hasattr(loader, "set_epoch"):
+                loader.set_epoch(epoch)
+            prof = None
+            if profile_steps > 0 and epoch == begin_epoch and is_main:
+                prof = (os.path.join(output_dir, "xprof"), profile_steps)
+            state, loss, steps_done, stopped = train_one_epoch(
+                step_fn, state, loader, erng, epoch,
+                shard, logger, cfg.PRINT_FREQ,
+                cfg=cfg,
+                # debug tensors are batch-sharded across processes —
+                # fetchable only single-process
+                debug_dir=output_dir if nproc == 1 else None,
+                profile=prof, start_step=start_step, guard=guard)
+            if stopped:
+                if is_main:
+                    saver(output_dir, state, epoch, 0.0, False,
+                          best_perf=best_perf, batch_in_epoch=steps_done)
+                if logger:
+                    logger.info(
+                        "preemption stop: mid-epoch checkpoint written "
+                        "(epoch %d, batch %d) — auto-resume continues here",
+                        epoch, steps_done)
+                break
+            perf = 0.0
+            validated = (val_dataset is not None
+                         and (epoch + 1) % eval_every == 0)
+            if validated:
+                variables = {"params": state.params,
+                             "batch_stats": state.batch_stats}
+                if nproc == 1:
+                    _, perf = validate(cfg, val_dataset, model, variables,
+                                       output_dir=output_dir, logger=logger,
+                                       num_workers=num_workers, mesh=mesh,
+                                       infer_fn=val_infer)
+                else:
+                    # every process computes the identical AP (results
+                    # gathered host-side), so best_perf / is_best stay
+                    # consistent
+                    from rsgnet_tpu.core.validate import validate_distributed
+                    _, perf = validate_distributed(
+                        cfg, val_dataset, model, variables,
+                        output_dir=output_dir, logger=logger,
+                        num_workers=num_workers, infer_fn=val_infer)
+            # best is only meaningful on epochs that actually evaluated
+            is_best = validated and perf >= best_perf
+            best_perf = max(best_perf, perf)
+            if is_main:
+                saver(output_dir, state, epoch, perf, is_best,
+                      best_perf=best_perf)
+            if writer:
+                writer.write_scalars(epoch, {"train_loss": loss,
+                                             "valid_AP": perf,
+                                             "best_AP": best_perf})
+            if logger:
+                logger.info("epoch %d: loss %.5f perf %.4f best %.4f",
+                            epoch, loss, perf, best_perf)
+            if guard is not None and guard.stop_requested:
+                # the signal landed during validate/checkpointing: the
+                # epoch-boundary checkpoint above is already written —
+                # stop cleanly before the next epoch
+                if logger:
+                    logger.info("preemption stop at epoch %d boundary",
+                                epoch)
+                break
+    finally:
+        if owns_guard:
+            guard.uninstall()
     if ckpt is not None:
         ckpt.wait()                 # last checkpoint durable before return
     if writer:

@@ -73,6 +73,7 @@ class GrainBatchLoader:
         self.seed = seed
         self.num_workers = num_workers
         self.epoch = 0
+        self._skip = 0                # one-shot mid-epoch resume offset
 
     def __len__(self):
         return len(self.dataset) // self.batch_size
@@ -83,6 +84,14 @@ class GrainBatchLoader:
         order as uninterrupted ones."""
         self.epoch = int(epoch)
 
+    def set_position(self, epoch: int, start_batch: int = 0):
+        """Resume mid-epoch (see ``BatchLoader.set_position``). Unlike the
+        threaded loader, grain workers still DECODE the skipped batches (the
+        iterator is consumed up to the offset) — a one-time cost of
+        ~start_batch/loader-rate seconds at resume."""
+        self.set_epoch(epoch)
+        self._skip = int(start_batch)
+
     def __iter__(self):
         loader = make_grain_loader(
             self.dataset, self.batch_size, shuffle=self.shuffle,
@@ -90,7 +99,10 @@ class GrainBatchLoader:
             seed=self.seed + self.epoch, num_epochs=1,
             worker_count=self.num_workers, drop_remainder=True)
         self.epoch += 1
-        for batch in loader:
+        skip, self._skip = self._skip, 0
+        for i, batch in enumerate(loader):
+            if i < skip:
+                continue
             batch = dict(batch)
             batch["num_valid"] = np.int32(self.batch_size)
             yield batch

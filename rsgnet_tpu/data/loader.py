@@ -47,6 +47,7 @@ class BatchLoader:
             assert batch_size % nproc == 0, (batch_size, nproc)
         self.process_shard = process_shard
         self.epoch = 0
+        self._skip = 0                # one-shot mid-epoch resume offset
 
     def __len__(self):
         n = len(self.dataset)
@@ -61,6 +62,15 @@ class BatchLoader:
         uninterrupted run would have — without it the order depends on how
         many times this loader object happened to be iterated."""
         self.epoch = int(epoch)
+
+    def set_position(self, epoch: int, start_batch: int = 0):
+        """Resume mid-epoch: pin the epoch AND skip the first
+        ``start_batch`` batches of it (one-shot — the next ``__iter__``
+        consumes the skip). The skipped batches are never decoded: the
+        shuffle permutation is a pure function of the epoch, so skipping is
+        index arithmetic (preemption resume, ``fit``/``PreemptionGuard``)."""
+        self.set_epoch(epoch)
+        self._skip = int(start_batch)
 
     def _index_batches(self):
         """List of (indices, num_real) — indices padded to batch_size by
@@ -89,6 +99,9 @@ class BatchLoader:
             pid, nproc = self.process_shard
             batches = [(b[slice(*shard_bounds(len(b), pid, nproc))], real)
                        for b, real in batches]
+        if self._skip:
+            batches = batches[self._skip:]
+            self._skip = 0
         self.epoch += 1
         window = self.lookahead + self.num_workers   # bounded decode-ahead
         collate = (lambda b: self.dataset.collate(b, cropped=True)) \
@@ -126,25 +139,51 @@ def device_prefetch(iterator, sharding=None, size: int = 2):
     else:
         put = jax.device_put
 
+    stop = threading.Event()
+
+    def guarded_put(item) -> bool:
+        """Blocking put that gives up once the consumer is gone (early
+        break, e.g. a preemption stop) so the thread never leaks."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def producer():
         # a decode/device_put failure must surface in the consumer, not
         # silently truncate the epoch
         try:
             for batch in iterator:
+                if stop.is_set():
+                    return
                 batch = {k: (put(v) if isinstance(v, np.ndarray) else v)
                          for k, v in batch.items()}
-                q.put(batch)
+                if not guarded_put(batch):
+                    return
         except BaseException as e:  # noqa: BLE001 — re-raised in consumer
-            q.put(e)
+            guarded_put(e)
         else:
-            q.put(sentinel)
+            guarded_put(sentinel)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        # consumer exited (normally, by break, or by GC of the generator):
+        # release the producer and drop any buffered batches
+        stop.set()
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass

@@ -25,12 +25,16 @@ def _to_host(tree):
 
 
 def _snapshot(state, epoch: int, perf: float,
-              best_perf: float | None) -> dict:
+              best_perf: float | None, batch_in_epoch: int = 0) -> dict:
     """Host-side payload. MUST run before the next train step: the step
     donates the state buffers, so device arrays referenced here would be
     invalidated — which is why even the async path snapshots inline."""
     return {
         "epoch": epoch,
+        # >0 marks a MID-epoch (preemption) checkpoint: `epoch` is the
+        # in-progress epoch and this many of its steps are already applied
+        # — resume re-enters the same epoch at this batch offset
+        "batch_in_epoch": int(batch_in_epoch),
         "step": int(state.step),
         "params": _to_host(state.params),
         "batch_stats": _to_host(state.batch_stats),
@@ -64,14 +68,18 @@ def _write_payload(out_dir: str, payload: dict, is_best: bool) -> str:
 
 
 def save_checkpoint(out_dir: str, state, epoch: int, perf: float,
-                    is_best: bool, best_perf: float | None = None) -> str:
+                    is_best: bool, best_perf: float | None = None,
+                    batch_in_epoch: int = 0) -> str:
     """state: core.train.TrainState. Returns the checkpoint path.
 
     ``perf`` is THIS epoch's metric (0.0 on epochs that didn't validate);
     ``best_perf`` is the running best, persisted separately so a resumed run
     never overwrites ``model_best`` with a worse model (the reference stores
-    the running best too — ADVICE round-2)."""
-    return _write_payload(out_dir, _snapshot(state, epoch, perf, best_perf),
+    the running best too — ADVICE round-2). ``batch_in_epoch`` > 0 writes a
+    mid-epoch (preemption) checkpoint — see ``_snapshot``."""
+    return _write_payload(out_dir,
+                          _snapshot(state, epoch, perf, best_perf,
+                                    batch_in_epoch),
                           is_best)
 
 
@@ -90,8 +98,9 @@ class AsyncCheckpointer:
         self._pending = None
 
     def save(self, out_dir: str, state, epoch: int, perf: float,
-             is_best: bool, best_perf: float | None = None) -> None:
-        payload = _snapshot(state, epoch, perf, best_perf)
+             is_best: bool, best_perf: float | None = None,
+             batch_in_epoch: int = 0) -> None:
+        payload = _snapshot(state, epoch, perf, best_perf, batch_in_epoch)
         self.wait()
         self._pending = self._pool.submit(_write_payload, out_dir, payload,
                                           is_best)
@@ -103,11 +112,15 @@ class AsyncCheckpointer:
             pending.result()
 
 
-def load_checkpoint(path: str, state) -> Tuple[Any, int, float]:
+def load_checkpoint(path: str, state) -> Tuple[Any, int, float, int]:
     """Restore ``state`` (template for structure) from ``path``.
 
-    Returns (state, begin_epoch, best_perf). Works for both full checkpoints
-    (with opt_state) and best-model files (params/batch_stats only).
+    Returns (state, epoch, best_perf, batch_in_epoch). ``batch_in_epoch``
+    is 0 for epoch-boundary checkpoints (and for checkpoints written before
+    the field existed); >0 means ``epoch`` is in progress and that many of
+    its steps are already applied (preemption checkpoint). Works for both
+    full checkpoints (with opt_state) and best-model files
+    (params/batch_stats only).
 
     Layout-compat note: round-2 renamed the RSG head's refine layers
     (``refine{i}_conv``/``refine{i}_bn`` -> ``refine{i}/conv|bn``), so
@@ -142,7 +155,8 @@ def load_checkpoint(path: str, state) -> Tuple[Any, int, float]:
                 path, e)
     state = state.replace(**kw)
     best = raw.get("best_perf", raw.get("perf", 0.0))
-    return state, int(raw.get("epoch", 0)), float(best)
+    return (state, int(raw.get("epoch", 0)), float(best),
+            int(raw.get("batch_in_epoch", 0)))
 
 
 def load_weights(cfg, model, model_file: str):
@@ -178,9 +192,14 @@ def load_weights(cfg, model, model_file: str):
 
 
 def auto_resume(out_dir: str, state):
-    """(state, begin_epoch, best_perf) — restored when checkpoint exists."""
+    """(state, begin_epoch, best_perf, start_batch) — restored when a
+    checkpoint exists. Epoch-boundary checkpoints resume at the NEXT epoch
+    (start_batch 0); mid-epoch preemption checkpoints re-enter the SAME
+    epoch at the recorded batch offset."""
     path = os.path.join(out_dir, CKPT_NAME)
     if os.path.exists(path):
-        state, epoch, perf = load_checkpoint(path, state)
-        return state, epoch + 1, perf
-    return state, 0, 0.0
+        state, epoch, perf, batch = load_checkpoint(path, state)
+        if batch > 0:
+            return state, epoch, perf, batch
+        return state, epoch + 1, perf, 0
+    return state, 0, 0.0, 0

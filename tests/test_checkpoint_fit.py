@@ -41,7 +41,8 @@ def test_checkpoint_roundtrip(tmp_path):
     assert os.path.exists(path)
     assert os.path.exists(os.path.join(str(tmp_path), "model_best.msgpack"))
     _, state2 = make_state(cfg)
-    state2, epoch, perf = load_checkpoint(path, state2)
+    state2, epoch, perf, batch = load_checkpoint(path, state2)
+    assert batch == 0
     assert epoch == 3 and perf == pytest.approx(0.42)
     _tree_allclose(state.params, state2.params)
     _tree_allclose(state.opt_state, state2.opt_state)
@@ -61,7 +62,7 @@ def test_opt_state_layout_mismatch_degrades_gracefully(tmp_path):
     cfg2 = tiny_rsgnet()
     cfg2.TRAIN.OPTIMIZER = "adam"          # different opt_state pytree
     _, state_adam = make_state(cfg2)
-    state2, epoch, perf = load_checkpoint(path, state_adam)
+    state2, epoch, perf, _ = load_checkpoint(path, state_adam)
     assert epoch == 5 and perf == pytest.approx(0.3)
     _tree_allclose(state_sgd.params, state2.params)
     # optimizer state stayed the fresh adam template (not restored)
@@ -73,11 +74,11 @@ def test_auto_resume_semantics(tmp_path):
     cfg = tiny_rsgnet()
     model, state = make_state(cfg)
     # nothing there: epoch 0
-    s, e, p = auto_resume(str(tmp_path), state)
-    assert e == 0 and p == 0.0
+    s, e, p, b = auto_resume(str(tmp_path), state)
+    assert e == 0 and p == 0.0 and b == 0
     save_checkpoint(str(tmp_path), state, epoch=7, perf=0.5, is_best=False)
-    s, e, p = auto_resume(str(tmp_path), state)
-    assert e == 8 and p == pytest.approx(0.5)
+    s, e, p, b = auto_resume(str(tmp_path), state)
+    assert e == 8 and p == pytest.approx(0.5) and b == 0
 
 
 def test_resume_restores_running_best_not_epoch_perf(tmp_path):
@@ -88,7 +89,7 @@ def test_resume_restores_running_best_not_epoch_perf(tmp_path):
     model, state = make_state(cfg)
     save_checkpoint(str(tmp_path), state, epoch=9, perf=0.0, is_best=False,
                     best_perf=0.73)
-    _, e, p = auto_resume(str(tmp_path), state)
+    _, e, p, _ = auto_resume(str(tmp_path), state)
     assert e == 10 and p == pytest.approx(0.73)
 
 
@@ -131,7 +132,7 @@ def test_fit_async_checkpoint_resumes(fixture_root, tmp_path):
                    output_dir=out, max_epochs=1)
     assert os.path.exists(os.path.join(out, "checkpoint.msgpack"))
     _, state2 = make_state(cfg)
-    state2, epoch, _ = load_checkpoint(
+    state2, epoch, _, _ = load_checkpoint(
         os.path.join(out, "checkpoint.msgpack"), state2)
     assert epoch == 0
     _tree_allclose(state.params, state2.params)

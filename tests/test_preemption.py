@@ -1,0 +1,237 @@
+"""Graceful-preemption checkpointing (TRAIN.PREEMPT_CHECKPOINT).
+
+The TPU-production failure mode the reference cannot handle: the scheduler
+SIGTERMs the job mid-epoch. With the PreemptionGuard, ``fit`` stops at the
+next step boundary, writes a MID-epoch checkpoint (``batch_in_epoch``), and
+``auto_resume`` re-enters the same epoch at the same batch. Because per-step
+RNG streams are ``fold_in(erng, step)`` (pure functions of position) and the
+shuffle order is pinned to the epoch number, the resumed run is BITWISE
+identical to an uninterrupted one — extending
+``test_resume_equivalence.py``'s epoch-boundary guarantee to every step
+boundary.
+"""
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import jax
+import numpy as np
+import pytest
+from flax import serialization
+
+from rsgnet_tpu.config.defaults import tiny_rsgnet
+from rsgnet_tpu.core.function import PreemptionGuard, fit
+from rsgnet_tpu.data import get_dataset
+from rsgnet_tpu.models import get_pose_net
+
+from tests.fixtures.synthetic_coco import make_dataset, write_fixture
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def fixture_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("coco_preempt")
+    write_fixture(str(root), make_dataset())
+    return str(root)
+
+
+class StopAfter(PreemptionGuard):
+    """Deterministic test injection: allow N dispatches, then 'preempt'."""
+
+    def __init__(self, n):
+        super().__init__()
+        self.n = n
+        self.dispatched = 0
+
+    def should_stop(self, step):
+        if self.dispatched >= self.n:
+            return True
+        self.dispatched += 1
+        return False
+
+
+def _cfg():
+    cfg = tiny_rsgnet()
+    cfg.TRAIN.BATCH_SIZE_PER_GPU = 1        # 8 virtual devices -> batch 8
+    cfg.TRAIN.SHUFFLE = True
+    cfg.TRAIN.END_EPOCH = 2
+    return cfg
+
+
+def _leaves_equal(a, b, name):
+    la, lb = jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                      err_msg=name)
+
+
+def test_mid_epoch_resume_bitwise(fixture_root, tmp_path):
+    """Preempt after 1 of 4 steps of epoch 0; the resumed run must equal
+    the uninterrupted 2-epoch control bit for bit."""
+    cfg = _cfg()
+
+    def dataset():
+        ds = get_dataset(cfg, root=fixture_root, image_set="val",
+                         is_train=True)
+        ds.db = (ds.db * 10)[:32]           # 4 batches of 8 per epoch
+        return ds
+
+    model = get_pose_net(cfg)
+    control, _ = fit(cfg, model, dataset(), val_dataset=None,
+                     output_dir=str(tmp_path / "control"), max_epochs=2)
+
+    out = str(tmp_path / "preempted")
+    fit(cfg, model, dataset(), val_dataset=None, output_dir=out,
+        max_epochs=2, preempt_guard=StopAfter(1))
+    ckpt = os.path.join(out, "checkpoint.msgpack")
+    raw = serialization.msgpack_restore(open(ckpt, "rb").read())
+    assert raw["epoch"] == 0 and raw["batch_in_epoch"] == 1
+
+    resumed, _ = fit(cfg, model, dataset(), val_dataset=None,
+                     output_dir=out, max_epochs=2)
+    assert int(resumed.step) == int(control.step) > 0
+    _leaves_equal(control.params, resumed.params, "params")
+    _leaves_equal(control.batch_stats, resumed.batch_stats, "batch_stats")
+    _leaves_equal(control.opt_state, resumed.opt_state, "opt_state")
+    # the resumed run's final checkpoint is back to an epoch-boundary one
+    raw = serialization.msgpack_restore(open(ckpt, "rb").read())
+    assert raw["epoch"] == 1 and raw["batch_in_epoch"] == 0
+
+
+def test_preempt_across_epoch_boundaries(fixture_root, tmp_path):
+    """Two successive preemptions (one mid-epoch-0, one mid-epoch-1) still
+    land bitwise on the control — the chain of mid-epoch checkpoints
+    composes."""
+    cfg = _cfg()
+
+    def dataset():
+        ds = get_dataset(cfg, root=fixture_root, image_set="val",
+                         is_train=True)
+        ds.db = (ds.db * 10)[:32]
+        return ds
+
+    model = get_pose_net(cfg)
+    control, _ = fit(cfg, model, dataset(), val_dataset=None,
+                     output_dir=str(tmp_path / "control"), max_epochs=2)
+
+    out = str(tmp_path / "chain")
+    fit(cfg, model, dataset(), val_dataset=None, output_dir=out,
+        max_epochs=2, preempt_guard=StopAfter(3))      # stop at e0 step 3
+    fit(cfg, model, dataset(), val_dataset=None, output_dir=out,
+        max_epochs=2, preempt_guard=StopAfter(3))      # 1 of e0 + 2 of e1
+    raw = serialization.msgpack_restore(
+        open(os.path.join(out, "checkpoint.msgpack"), "rb").read())
+    assert raw["epoch"] == 1 and raw["batch_in_epoch"] == 2
+    resumed, _ = fit(cfg, model, dataset(), val_dataset=None,
+                     output_dir=out, max_epochs=2)
+    assert int(resumed.step) == int(control.step)
+    _leaves_equal(control.params, resumed.params, "params")
+    _leaves_equal(control.opt_state, resumed.opt_state, "opt_state")
+
+
+def test_loader_set_position_matches_tail(fixture_root):
+    """set_position(epoch, k) yields exactly the batches a full iteration
+    of that epoch yields from index k on (and skipping costs no decodes —
+    it is index arithmetic)."""
+    from rsgnet_tpu.data.loader import BatchLoader
+
+    cfg = _cfg()
+    ds = get_dataset(cfg, root=fixture_root, image_set="val", is_train=True)
+    ds.db = (ds.db * 10)[:32]
+    loader = BatchLoader(ds, batch_size=8, shuffle=True, drop_last=True,
+                         num_workers=2)
+    loader.set_epoch(5)
+    full = [b["image_id"].copy() for b in loader]
+    loader.set_position(5, 2)
+    tail = [b["image_id"].copy() for b in loader]
+    assert len(tail) == len(full) - 2
+    for a, b in zip(full[2:], tail):
+        np.testing.assert_array_equal(a, b)
+    # the skip is one-shot: the next epoch is complete again
+    loader.set_epoch(5)
+    assert len([1 for _ in loader]) == len(full)
+
+
+def test_guard_install_restores_handler():
+    prev = signal.getsignal(signal.SIGTERM)
+    g = PreemptionGuard().install()
+    assert signal.getsignal(signal.SIGTERM) is not prev
+    assert not g.stop_requested
+    g.request_stop()
+    assert g.stop_requested and g.should_stop(0)
+    g.uninstall()
+    assert signal.getsignal(signal.SIGTERM) is prev
+
+
+_CHILD = r"""
+import os, sys, logging
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+from rsgnet_tpu.config.defaults import tiny_rsgnet
+from rsgnet_tpu.core.function import fit
+from rsgnet_tpu.data import get_dataset
+from rsgnet_tpu.models import get_pose_net
+
+root, out = sys.argv[1], sys.argv[2]
+cfg = tiny_rsgnet()
+cfg.TRAIN.BATCH_SIZE_PER_GPU = 2
+cfg.TRAIN.SHUFFLE = True
+cfg.TRAIN.END_EPOCH = 50
+cfg.PRINT_FREQ = 1
+os.makedirs(out, exist_ok=True)
+logging.basicConfig(filename=os.path.join(out, "train.log"),
+                    level=logging.INFO, force=True)
+logger = logging.getLogger("preempt-child")
+model = get_pose_net(cfg)
+ds = get_dataset(cfg, root=root, image_set="val", is_train=True)
+ds.db = (ds.db * 400)[:1600]    # ~100 batches/epoch: a wide mid-epoch window
+fit(cfg, model, ds, val_dataset=None, output_dir=out, logger=logger,
+    max_epochs=50)
+print("FIT-RETURNED", flush=True)
+"""
+
+
+def test_sigterm_saves_mid_epoch_checkpoint(fixture_root, tmp_path):
+    """Real signal path: a separate interpreter training a long epoch gets
+    SIGTERM and must exit 0 with a mid-epoch checkpoint on disk."""
+    child = tmp_path / "child.py"
+    child.write_text(_CHILD)
+    out = tmp_path / "out"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(REPO,
+                                                    ".jax_compile_cache")
+    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0.5"
+    env["JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES"] = "0"
+    proc = subprocess.Popen([sys.executable, str(child), fixture_root,
+                             str(out)], cwd=REPO, env=env,
+                            stdout=subprocess.PIPE, text=True)
+    try:
+        log = out / "train.log"
+        deadline = time.time() + 300
+        # wait until a few steps of epoch 0 have logged, then 'preempt'
+        while time.time() < deadline:
+            if log.exists() and "Epoch [0][3" in log.read_text():
+                break
+            if proc.poll() is not None:
+                raise AssertionError("child exited before training started")
+            time.sleep(0.2)
+        else:
+            raise AssertionError("child never reached epoch 0 step 3")
+        proc.send_signal(signal.SIGTERM)
+        stdout, _ = proc.communicate(timeout=300)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert proc.returncode == 0, stdout
+    assert "FIT-RETURNED" in stdout
+    raw = serialization.msgpack_restore(
+        open(out / "checkpoint.msgpack", "rb").read())
+    assert raw["epoch"] == 0
+    assert 0 < raw["batch_in_epoch"] < 100
