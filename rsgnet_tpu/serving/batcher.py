@@ -8,7 +8,9 @@ standard policy (the one docs/SERVING.md's operational notes prescribe):
   - collect queued requests until the batch reaches ``max_batch`` instances
     or ``max_wait_ms`` has elapsed since the oldest waiting request;
   - pad to the engine's bucket and dispatch — JAX dispatch is async, so the
-    host thread is free immediately;
+    host thread is free immediately; a group whose size falls badly between
+    buckets is first split into bucket-aligned chunks when that reduces
+    padded compute (``_chunks_for_buckets``);
   - keep up to ``in_flight`` dispatched batches pending and materialize
     results on a separate completer thread, so the device starts batch k+1
     while batch k's response bytes are still crossing back (the same
@@ -186,7 +188,58 @@ class DynamicBatcher:
             self._dispatch(group, total)
         self._done_q.put(_STOP)
 
+    def _chunks_for_buckets(self, group, total):
+        """Split a coalesced group into bucket-aligned chunks (FIFO order
+        kept, requests atomic) when the engine's MEASURED per-bucket costs
+        say the split is faster than padding to the next bucket.
+
+        The motivating case (BENCH_NOTES round-3 batcher sweep): a group of
+        102 singles over buckets {64, 256} pads 154 dead instances; two
+        64-bucket dispatches do the same work in ~2/3 the wall time. But
+        instance counting alone would over-split — on this per-op-overhead
+        bound model a 38-instance remainder is NOT cheaper as 5 dispatches
+        of 8, so the decision uses ``engine.bucket_cost`` (timed by
+        ``warmup()``). Without a cost table (warmup not run) the group is
+        dispatched whole — the original, predictable behavior.
+
+        Shape of the split: peel full copies of the largest bucket <= the
+        group total, leave the remainder as ONE chunk; adopt the split only
+        if the summed measured cost strictly beats the single dispatch.
+        """
+        cost = self.engine.bucket_cost
+        if not cost or total in self.engine.buckets:
+            return [(group, total)]
+        lower = [b for b in self.engine.buckets if b <= total]
+        if not lower:
+            return [(group, total)]
+        b_lo = lower[-1]
+        chunks, rest, rest_total = [], list(group), total
+        while rest_total >= b_lo and rest:
+            prefix, s, i = [], 0, 0
+            while i < len(rest) and s + rest[i].n <= b_lo:
+                s += rest[i].n
+                prefix.append(rest[i])
+                i += 1
+            if not prefix:                 # head alone overflows b_lo
+                prefix, s, i = [rest[0]], rest[0].n, 1
+            chunks.append((prefix, s))
+            rest, rest_total = rest[i:], rest_total - s
+        if rest:
+            chunks.append((rest, rest_total))
+
+        def c(n):
+            b = self.engine.bucket_for(n)
+            return cost.get(b, float("inf"))
+
+        if len(chunks) > 1 and sum(c(s) for _, s in chunks) < c(total):
+            return chunks
+        return [(group, total)]
+
     def _dispatch(self, group, total):
+        for chunk, chunk_total in self._chunks_for_buckets(group, total):
+            self._dispatch_one(chunk, chunk_total)
+
+    def _dispatch_one(self, group, total):
         self._slots.acquire()          # bounds batches in flight
         try:
             if len(group) == 1:

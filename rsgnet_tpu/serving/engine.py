@@ -48,6 +48,10 @@ class ServingEngine:
         self.image_dtype = np.dtype(image_dtype) if image_dtype else None
         self._lock = threading.Lock()
         self._bucket_calls = {b: 0 for b in self.buckets}
+        # measured seconds per dispatch, filled by warmup(); consumers
+        # (DynamicBatcher._chunks_for_buckets) use it to decide whether
+        # splitting a group across buckets beats padding to the next one
+        self.bucket_cost: dict = {}
 
     def bucket_for(self, n: int) -> int:
         """Smallest bucket >= n. Requests above max_batch are the caller's
@@ -106,16 +110,30 @@ class ServingEngine:
     def warmup(self, buckets: Sequence[int] | None = None):
         """Pre-compile the given buckets (default: all) with dummy requests
         so the first real request never pays an XLA compile. Requires
-        ``image_shape`` (and uses ``image_dtype`` or float32)."""
+        ``image_shape`` (and uses ``image_dtype`` or float32).
+
+        Also MEASURES each bucket: a second, post-compile call is timed to
+        a host materialization and recorded in ``bucket_cost`` — the
+        batcher's split-vs-pad decisions are then driven by this box's real
+        per-dispatch costs (an overhead-bound model makes small buckets
+        nearly as expensive as large ones; instance counting alone would
+        mis-split)."""
         if self.image_shape is None:
             raise ValueError("warmup needs image_shape to build dummy input")
+        import time as _time
+
         import jax
         dtype = self.image_dtype or np.float32
         for b in (buckets or self.buckets):
             imgs = np.zeros((b, *self.image_shape), dtype)
-            out = self._fn(imgs, np.full((b, 2), 32.0, np.float32),
-                           np.ones((b, 2), np.float32))
-            jax.block_until_ready(out)
+            args = (imgs, np.full((b, 2), 32.0, np.float32),
+                    np.ones((b, 2), np.float32))
+            jax.block_until_ready(self._fn(*args))      # compile
+            t0 = _time.perf_counter()
+            out = self._fn(*args)
+            # materialize (tunnel rule: block_until_ready alone can lie)
+            jax.tree_util.tree_map(np.asarray, out)
+            self.bucket_cost[b] = _time.perf_counter() - t0
 
     def stats(self) -> dict:
         with self._lock:

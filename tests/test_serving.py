@@ -321,3 +321,99 @@ def test_batcher_over_sharded_mesh(served):
     for g, (want_p, want_m) in zip(got, want):
         np.testing.assert_allclose(g[0], want_p, atol=1e-5)
         np.testing.assert_allclose(g[1], want_m, atol=1e-5)
+
+
+def _pend(ns):
+    from rsgnet_tpu.serving.batcher import _Pending
+    from concurrent.futures import Future
+    z = np.zeros((1, 1))
+    return [_Pending(z, z, z, n, Future()) for n in ns]
+
+
+def test_chunker_bucket_alignment(served):
+    """_chunks_for_buckets: split only when the MEASURED per-bucket costs
+    say it wins; FIFO order and request atomicity preserved."""
+    serve_fn, image_shape, _ = served
+    eng = ServingEngine(serve_fn, buckets=(1, 8, 64, 256),
+                        image_shape=image_shape, image_dtype=np.uint8)
+    # synthetic cost table with the measured SHAPE of this model's costs:
+    # a large per-dispatch overhead + a linear term (BENCH_NOTES serving
+    # latency profile: B=1 54 ms, B=64 100 ms)
+    eng.bucket_cost = {1: 0.031, 8: 0.038, 64: 0.094, 256: 0.286}
+    b = DynamicBatcher(eng, max_wait_ms=1.0)
+    try:
+        chunk = b._chunks_for_buckets
+
+        # the sweep's case: 102 singles -> full 64 + remainder 38 (two
+        # 94 ms dispatches, 188 ms < one 256-bucket at 286 ms); the
+        # remainder is NOT fragmented into 8s (5 more dispatches would
+        # cost 228 ms)
+        g = _pend([1] * 102)
+        got = chunk(g, 102)
+        assert [s for _, s in got] == [64, 38]
+        assert [p.n for c, _ in got for p in c] == [1] * 102
+        assert got[0][0] == g[:64] and got[1][0] == g[64:]  # FIFO kept
+
+        # exact bucket fit: never split
+        assert [s for _, s in chunk(_pend([32, 32]), 64)] == [64]
+        # below the smallest usable boundary: one chunk
+        assert [s for _, s in chunk(_pend([1, 1, 1]), 3)] == [3]
+        # atomic boundaries can make splitting worse: 4+3 over {1,8,...}
+        # costs two 8-bucket dispatches split vs one kept -> no split
+        assert [s for _, s in chunk(_pend([4, 3]), 7)] == [7]
+        # 65 = full 64 + a straggler single (125 ms vs 286 ms)
+        assert [s for _, s in chunk(_pend([1] * 65), 65)] == [64, 1]
+        # greedy prefix respects atomicity: 40 + 24 singles fill 64 whole
+        assert [s for _, s in chunk(_pend([40] + [1] * 24), 64)] == [64]
+        # 200 singles: 3x64 + 8 costs 320 ms — WORSE than one 256-bucket
+        # (286 ms); the cost model keeps it whole (instance counting
+        # would have split it)
+        assert [s for _, s in chunk(_pend([1] * 200), 200)] == [200]
+        # without a cost table (warmup not run): original behavior
+        eng.bucket_cost = {}
+        assert [s for _, s in chunk(_pend([1] * 102), 102)] == [102]
+    finally:
+        b.close()
+
+
+def test_batcher_dispatches_bucket_aligned_chunks(served):
+    """End to end: a coalesced group that falls between buckets dispatches
+    as a full lower bucket + remainder, and every request's results still
+    equal the direct call."""
+    serve_fn, image_shape, _ = served
+    eng = ServingEngine(serve_fn, buckets=(1, 4, 16),
+                        image_shape=image_shape, image_dtype=np.uint8)
+    rng = np.random.default_rng(11)
+    release = threading.Event()
+    calls = []
+
+    def gated(images, centers, scales):
+        calls.append(images.shape[0])
+        release.wait(60)
+        return serve_fn(images, centers, scales)
+
+    geng = ServingEngine(gated, buckets=(1, 4, 16),
+                         image_shape=image_shape, image_dtype=np.uint8)
+    # a cost table under which 4+1 (80 ms) beats one 16-bucket (200 ms)
+    geng.bucket_cost = {1: 0.03, 4: 0.05, 16: 0.2}
+    b = DynamicBatcher(geng, max_wait_ms=30.0, in_flight=1)
+    try:
+        # the first request grabs the slot; 5 more singles queue behind it
+        # -> a coalesced group of 5 = full 4-bucket + 1 single,
+        # NOT one 16-bucket
+        reqs = [random_request(rng, image_shape, 1) for _ in range(6)]
+        want = [direct(serve_fn, r) for r in reqs]
+        futs = [b.submit(*reqs[0])]
+        time.sleep(0.2)               # let the dispatcher take the slot
+        futs += [b.submit(*r) for r in reqs[1:]]
+        time.sleep(0.3)               # group of 5 coalesces in the queue
+        release.set()
+        got = [f.result(timeout=300) for f in futs]
+    finally:
+        b.close()
+    for g, (want_p, want_m) in zip(got, want):
+        np.testing.assert_allclose(g[0], want_p, atol=1e-5)
+        np.testing.assert_allclose(g[1], want_m, atol=1e-5)
+    assert calls[0] == 1
+    # the queued 5 went out as 4 + 1 (bucket-aligned), not padded to 16
+    assert sorted(calls[1:]) == [1, 4], calls
