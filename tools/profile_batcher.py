@@ -72,6 +72,10 @@ def main():
     p.add_argument("--in-flight", type=int, default=3)
     p.add_argument("--tiny", action="store_true",
                    help="tiny model (CPU smoke); default flagship W32")
+    p.add_argument("--ab-split", action="store_true",
+                   help="per client level, run the sweep twice in-session: "
+                        "cost-driven chunk splitting OFF then ON "
+                        "(same engine, same compiles)")
     args = p.parse_args()
 
     import jax
@@ -98,9 +102,11 @@ def main():
           f"({cfg.MODEL.NAME} @ {w}x{h}, backend "
           f"{jax.devices()[0].platform})...")
     engine.warmup()
-    print(f"{'clients':>8} {'goodput':>10} {'p50 ms':>8} {'p95 ms':>8} "
-          f"{'fill':>6} {'batches':>8}")
-    for c in (int(x) for x in args.clients.split(",")):
+    cost = dict(engine.bucket_cost)
+    print("measured bucket costs (ms):",
+          {b: round(v * 1e3, 1) for b, v in cost.items()})
+
+    def level(c, label=""):
         batcher = DynamicBatcher(engine, max_wait_ms=args.max_wait_ms,
                                  in_flight=args.in_flight)
         r = run_level(batcher, image_shape, c, args.seconds)
@@ -108,7 +114,19 @@ def main():
         st = batcher.stats()
         print(f"{r['clients']:>8} {r['goodput_rps']:>10.1f} "
               f"{r['p50_ms']:>8.1f} {r['p95_ms']:>8.1f} "
-              f"{st['mean_batch_fill']:>6.1f} {st['batches']:>8}")
+              f"{st['mean_batch_fill']:>6.1f} {st['batches']:>8}  {label}",
+              flush=True)
+
+    print(f"{'clients':>8} {'goodput':>10} {'p50 ms':>8} {'p95 ms':>8} "
+          f"{'fill':>6} {'batches':>8}")
+    for c in (int(x) for x in args.clients.split(",")):
+        if args.ab_split:
+            engine.bucket_cost = {}          # split disabled (old policy)
+            level(c, "split=off")
+            engine.bucket_cost = dict(cost)  # split by measured costs
+            level(c, "split=on")
+        else:
+            level(c)
 
 
 if __name__ == "__main__":
