@@ -360,14 +360,27 @@ def fit(cfg: Config, model, train_dataset, val_dataset=None,
                 debug_dir=output_dir if nproc == 1 else None,
                 profile=prof, start_step=start_step, guard=guard)
             if stopped:
-                if is_main:
-                    saver(output_dir, state, epoch, 0.0, False,
-                          best_perf=best_perf, batch_in_epoch=steps_done)
-                if logger:
+                if steps_done > 0:
+                    # batch_in_epoch > 0 is what makes auto_resume re-enter
+                    # THIS epoch; steps_done == 0 must NOT be saved — a
+                    # (epoch, batch 0) payload reads as an epoch-BOUNDARY
+                    # checkpoint and resume would skip the whole epoch. With
+                    # zero steps run the state is unchanged, so the prior
+                    # on-disk checkpoint (or a fresh start) already resumes
+                    # exactly here.
+                    if is_main:
+                        saver(output_dir, state, epoch, 0.0, False,
+                              best_perf=best_perf, batch_in_epoch=steps_done)
+                    if logger:
+                        logger.info(
+                            "preemption stop: mid-epoch checkpoint written "
+                            "(epoch %d, batch %d) — auto-resume continues "
+                            "here", epoch, steps_done)
+                elif logger:
                     logger.info(
-                        "preemption stop: mid-epoch checkpoint written "
-                        "(epoch %d, batch %d) — auto-resume continues here",
-                        epoch, steps_done)
+                        "preemption stop before the first step of epoch %d "
+                        "— no checkpoint needed, resume re-enters here",
+                        epoch)
                 break
             perf = 0.0
             validated = (val_dataset is not None

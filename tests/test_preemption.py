@@ -133,6 +133,42 @@ def test_preempt_across_epoch_boundaries(fixture_root, tmp_path):
     _leaves_equal(control.opt_state, resumed.opt_state, "opt_state")
 
 
+def test_preempt_at_epoch_start_skips_no_epoch(fixture_root, tmp_path):
+    """A preemption that fires BEFORE the first step of an epoch must not
+    lose that epoch. StopAfter(steps_per_epoch) completes epoch 0 and then
+    fires at step 0 of epoch 1: writing (epoch=1, batch_in_epoch=0) there
+    would read as an epoch-1-BOUNDARY checkpoint and auto_resume would skip
+    epoch 1 entirely — the loop must leave the epoch-0 boundary checkpoint
+    in place instead, so the resume replays epoch 1 and lands bitwise on
+    the control."""
+    cfg = _cfg()
+
+    def dataset():
+        ds = get_dataset(cfg, root=fixture_root, image_set="val",
+                         is_train=True)
+        ds.db = (ds.db * 10)[:32]           # 4 batches of 8 per epoch
+        return ds
+
+    model = get_pose_net(cfg)
+    control, _ = fit(cfg, model, dataset(), val_dataset=None,
+                     output_dir=str(tmp_path / "control"), max_epochs=2)
+
+    out = str(tmp_path / "zero_step")
+    fit(cfg, model, dataset(), val_dataset=None, output_dir=out,
+        max_epochs=2, preempt_guard=StopAfter(4))   # fires at e1 step 0
+    ckpt = os.path.join(out, "checkpoint.msgpack")
+    raw = serialization.msgpack_restore(open(ckpt, "rb").read())
+    # the on-disk checkpoint is still epoch 0's boundary one
+    assert raw["epoch"] == 0 and raw["batch_in_epoch"] == 0
+
+    resumed, _ = fit(cfg, model, dataset(), val_dataset=None,
+                     output_dir=out, max_epochs=2)
+    assert int(resumed.step) == int(control.step) > 0
+    _leaves_equal(control.params, resumed.params, "params")
+    _leaves_equal(control.batch_stats, resumed.batch_stats, "batch_stats")
+    _leaves_equal(control.opt_state, resumed.opt_state, "opt_state")
+
+
 def test_loader_set_position_matches_tail(fixture_root):
     """set_position(epoch, k) yields exactly the batches a full iteration
     of that epoch yields from index k on (and skipping costs no decodes —
