@@ -294,17 +294,12 @@ class TopDownDataset:
         center = rec["center"].astype(np.float32)
         scale = rec["scale"].astype(np.float32)
         from rsgnet_tpu.ops.affine import get_affine_transform
+        from rsgnet_tpu.ops.warp import host_affine_crop
         size = tuple(self.cfg.MODEL.IMAGE_SIZE)              # (w, h)
         trans = get_affine_transform(center, scale, 0.0, size)
-        try:
-            import cv2
-            crop = cv2.warpAffine(img, trans, size, flags=cv2.INTER_LINEAR)
-        except ImportError:
-            import jax.numpy as jnp
-            from rsgnet_tpu.ops.warp import affine_warp
-            crop = np.asarray(affine_warp(jnp.asarray(img),
-                                          jnp.asarray(trans),
-                                          size)).astype(np.uint8)
+        # cv2 when importable, else the vectorized NumPy sampler — never a
+        # per-sample device dispatch from inside a loader worker thread
+        crop = host_affine_crop(img, trans, size)
         return {
             "input": np.ascontiguousarray(crop, dtype=np.uint8),
             "center": center,

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def invert_affine(trans):
@@ -95,6 +96,62 @@ def _bilinear_gather(image, src_x, src_y):
     top = v00 * (1.0 - wx) + v01 * wx
     bot = v10 * (1.0 - wx) + v11 * wx
     return top * (1.0 - wy) + bot * wy
+
+
+def warp_affine_np(img, trans, out_size):
+    """Host-side (pure NumPy, vectorized) ``cv2.warpAffine`` equivalent:
+    INTER_LINEAR, constant-0 border — the same sampling semantics as
+    ``affine_warp`` but with no device dispatch and no per-source-shape
+    recompile, for host pipelines (data loading, serving preprocessing)
+    where source frames arrive in arbitrary sizes.
+
+    Args:
+      img: (H, W, C) or (H, W) array, any real dtype.
+      trans: (2, 3) src->dst affine matrix.
+      out_size: (out_w, out_h).
+
+    Returns:
+      (out_h, out_w[, C]) float32 warped image, zeros outside the source.
+    """
+    out_w, out_h = int(out_size[0]), int(out_size[1])
+    m = np.vstack([np.asarray(trans, np.float64), [0.0, 0.0, 1.0]])
+    minv = np.linalg.inv(m)
+    xs = np.arange(out_w, dtype=np.float64)[None, :]
+    ys = np.arange(out_h, dtype=np.float64)[:, None]
+    src_x = minv[0, 0] * xs + minv[0, 1] * ys + minv[0, 2]
+    src_y = minv[1, 0] * xs + minv[1, 1] * ys + minv[1, 2]
+    x0 = np.floor(src_x).astype(np.int64)
+    y0 = np.floor(src_y).astype(np.int64)
+    fx = (src_x - x0).astype(np.float32)
+    fy = (src_y - y0).astype(np.float32)
+    h, w = img.shape[:2]
+    flat = np.ascontiguousarray(img, dtype=np.float32).reshape(h, w, -1)
+    out = np.zeros((out_h, out_w, flat.shape[2]), np.float32)
+    for dy, wy in ((0, 1.0 - fy), (1, fy)):
+        for dx, wx in ((0, 1.0 - fx), (1, fx)):
+            xi, yi = x0 + dx, y0 + dy
+            valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+            vals = flat[np.clip(yi, 0, h - 1), np.clip(xi, 0, w - 1)]
+            out += (wx * wy * valid)[..., None] * vals
+    return out.reshape((out_h, out_w) + img.shape[2:])
+
+
+def host_affine_crop(img, trans, out_size):
+    """Crop/warp one host image to ``out_size`` for the reference-style host
+    pipeline: cv2.warpAffine when cv2 is importable (bit-identical to the
+    reference), else ``warp_affine_np`` (same INTER_LINEAR math; uint8
+    results rounded like cv2's fixed-point path). uint8 in -> uint8 out;
+    float in -> float32 out."""
+    size = (int(out_size[0]), int(out_size[1]))
+    try:
+        import cv2
+        return cv2.warpAffine(img, np.asarray(trans, np.float64), size,
+                              flags=cv2.INTER_LINEAR)
+    except ImportError:
+        out = warp_affine_np(img, trans, size)
+        if np.issubdtype(np.asarray(img).dtype, np.integer):
+            return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+        return out
 
 
 def affine_warp_batch(images, trans, out_size):

@@ -14,9 +14,12 @@ Three layers, each usable alone:
     flight so the device never idles between dispatches, and fans results
     back out to per-request futures.
   - HTTP front (http_server.py + tools/serve.py): a stdlib threaded HTTP
-    server speaking npz over POST — no framework dependencies.
+    server speaking npz over POST — no framework dependencies. Two routes:
+    /v1/predict (pre-cropped batches) and /v1/predict_image (one raw frame
+    + detector boxes; server-side preprocessing via preprocess.py).
 """
 from rsgnet_tpu.serving.batcher import DynamicBatcher
 from rsgnet_tpu.serving.engine import ServingEngine
+from rsgnet_tpu.serving.preprocess import crops_from_boxes
 
-__all__ = ["ServingEngine", "DynamicBatcher"]
+__all__ = ["ServingEngine", "DynamicBatcher", "crops_from_boxes"]

@@ -7,6 +7,16 @@ Protocol (framework-free, binary-clean):
                      ``scales`` (B, 2)
                      -> 200, body: ``.npz`` with ``preds`` (B, K, 2)
                      image-space keypoints and ``maxvals`` (B, K, 1) scores
+  POST /v1/predict_image
+                     body: ``.npz`` with ``image`` (H, W, 3) uint8 — ONE
+                     raw frame, any size — and ``boxes`` (N, 4) float
+                     [x, y, w, h] person boxes. The server does the
+                     reference demo-path preprocessing itself
+                     (serving/preprocess.py: box -> center/scale ->
+                     host affine crop) and batches the crops through the
+                     same engine; responses are frame-space keypoints.
+                     N may exceed the batcher's max_batch — the server
+                     splits and reassembles.
   GET  /v1/stats     -> 200, JSON batcher + engine counters
   GET  /healthz      -> 200 "ok" once the model is warm
 
@@ -25,7 +35,9 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
+from rsgnet_tpu.ops.warp import IMAGENET_MEAN, IMAGENET_STD
 from rsgnet_tpu.serving.batcher import DynamicBatcher
+from rsgnet_tpu.serving.preprocess import crops_from_boxes
 
 MAX_BODY_BYTES = 512 * 1024 * 1024
 
@@ -65,16 +77,21 @@ def make_server(batcher: DynamicBatcher, host: str = "127.0.0.1",
             else:
                 self._reply_json(404, {"error": f"no route {self.path}"})
 
-        def do_POST(self):
-            if self.path != "/v1/predict":
-                self._reply_json(404, {"error": f"no route {self.path}"})
-                return
+        def _load_body_npz(self):
+            length = int(self.headers.get("Content-Length", "0"))
+            if not 0 < length <= MAX_BODY_BYTES:
+                raise ValueError(f"bad Content-Length {length}")
+            return np.load(io.BytesIO(self.rfile.read(length)),
+                           allow_pickle=False)
+
+        def _reply_npz(self, preds, maxvals):
+            buf = io.BytesIO()
+            np.savez(buf, preds=preds, maxvals=maxvals)
+            self._reply(200, buf.getvalue(), "application/octet-stream")
+
+        def _predict(self):
             try:
-                length = int(self.headers.get("Content-Length", "0"))
-                if not 0 < length <= MAX_BODY_BYTES:
-                    raise ValueError(f"bad Content-Length {length}")
-                with np.load(io.BytesIO(self.rfile.read(length)),
-                             allow_pickle=False) as z:
+                with self._load_body_npz() as z:
                     images, centers, scales = (z["images"], z["centers"],
                                                z["scales"])
             except Exception as e:   # malformed request — client error
@@ -89,9 +106,58 @@ def make_server(batcher: DynamicBatcher, host: str = "127.0.0.1",
             except Exception as e:                 # execution → server
                 self._reply_json(500, {"error": str(e)})
                 return
-            buf = io.BytesIO()
-            np.savez(buf, preds=preds, maxvals=maxvals)
-            self._reply(200, buf.getvalue(), "application/octet-stream")
+            self._reply_npz(preds, maxvals)
+
+        def _predict_image(self):
+            engine = batcher.engine
+            try:
+                with self._load_body_npz() as z:
+                    image, boxes = z["image"], z["boxes"]
+                if engine.image_shape is None:
+                    raise ValueError("server engine has no image_shape; "
+                                     "/v1/predict_image needs it to size "
+                                     "the crops")
+                h, w, _ = engine.image_shape
+                crops, centers, scales = crops_from_boxes(image, boxes,
+                                                          (w, h))
+                if engine.image_dtype is not None \
+                        and np.issubdtype(engine.image_dtype, np.floating):
+                    # a float engine serves NORMALIZED crops (tools/serve.py:
+                    # artifacts exported with normalize_input=False); uint8
+                    # or unspecified engines take the raw crops
+                    crops = ((crops.astype(np.float32) / 255.0
+                              - np.asarray(IMAGENET_MEAN, np.float32))
+                             / np.asarray(IMAGENET_STD, np.float32))
+            except Exception as e:
+                self._reply_json(400, {"error": f"bad request: {e}"})
+                return
+            try:
+                # one frame may hold more people than max_batch: split into
+                # batcher-legal requests; they pipeline through the same
+                # coalescer and come back in order
+                futures, m = [], batcher.max_batch
+                for i in range(0, len(crops), m):
+                    futures.append(batcher.submit(crops[i:i + m],
+                                                  centers[i:i + m],
+                                                  scales[i:i + m]))
+                parts = [f.result(timeout=request_timeout_s)
+                         for f in futures]
+            except (ValueError, TypeError) as e:
+                self._reply_json(400, {"error": str(e)})
+                return
+            except Exception as e:
+                self._reply_json(500, {"error": str(e)})
+                return
+            self._reply_npz(np.concatenate([p for p, _ in parts]),
+                            np.concatenate([v for _, v in parts]))
+
+        def do_POST(self):
+            if self.path == "/v1/predict":
+                self._predict()
+            elif self.path == "/v1/predict_image":
+                self._predict_image()
+            else:
+                self._reply_json(404, {"error": f"no route {self.path}"})
 
     return ThreadingHTTPServer((host, port), Handler)
 
@@ -106,6 +172,22 @@ def predict_remote(url: str, images, centers, scales, timeout: float = 120.0):
              scales=np.asarray(scales, np.float32))
     req = urllib.request.Request(
         url.rstrip("/") + "/v1/predict", data=buf.getvalue(),
+        headers={"Content-Type": "application/octet-stream"}, method="POST")
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        with np.load(io.BytesIO(resp.read()), allow_pickle=False) as z:
+            return z["preds"], z["maxvals"]
+
+
+def predict_image_remote(url: str, image, boxes, timeout: float = 120.0):
+    """Client helper for ``/v1/predict_image``: one raw (H, W, 3) uint8
+    frame + (N, 4) [x, y, w, h] person boxes; returns (preds (N, K, 2)
+    frame-space keypoints, maxvals (N, K, 1))."""
+    import urllib.request
+    buf = io.BytesIO()
+    np.savez(buf, image=np.asarray(image, np.uint8),
+             boxes=np.asarray(boxes, np.float32))
+    req = urllib.request.Request(
+        url.rstrip("/") + "/v1/predict_image", data=buf.getvalue(),
         headers={"Content-Type": "application/octet-stream"}, method="POST")
     with urllib.request.urlopen(req, timeout=timeout) as resp:
         with np.load(io.BytesIO(resp.read()), allow_pickle=False) as z:

@@ -261,6 +261,123 @@ def test_http_round_trip(served):
         batcher.close()
 
 
+def test_crops_from_boxes_matches_reference_path(served):
+    """Server-side preprocessing == composing the reference pieces by hand
+    (box_to_center_scale -> get_affine_transform -> host warp), on an
+    arbitrary-size frame."""
+    from rsgnet_tpu.ops.affine import box_to_center_scale, \
+        get_affine_transform
+    from rsgnet_tpu.ops.warp import host_affine_crop
+    from rsgnet_tpu.serving.preprocess import crops_from_boxes
+    _, image_shape, _ = served
+    h, w, _ = image_shape
+    rng = np.random.default_rng(11)
+    frame = rng.integers(0, 256, (97, 123, 3), dtype=np.uint8)
+    boxes = np.array([[10, 15, 40, 60], [50, 5, 60, 80], [0, 0, 123, 97]],
+                     np.float32)
+    crops, centers, scales = crops_from_boxes(frame, boxes, (w, h))
+    assert crops.shape == (3, h, w, 3) and crops.dtype == np.uint8
+    for i, box in enumerate(boxes):
+        c, s = box_to_center_scale(box, w / h)
+        trans = get_affine_transform(c, s, 0.0, (w, h))
+        np.testing.assert_array_equal(crops[i],
+                                      host_affine_crop(frame, trans, (w, h)))
+        np.testing.assert_allclose(centers[i], c)
+        np.testing.assert_allclose(scales[i], s)
+    with pytest.raises(ValueError, match="image must be"):
+        crops_from_boxes(frame[..., 0], boxes, (w, h))
+    with pytest.raises(ValueError, match="boxes must be"):
+        crops_from_boxes(frame, boxes[:0], (w, h))
+
+
+def test_http_predict_image(served):
+    """Raw-frame route: the server crops, batches, and returns frame-space
+    keypoints equal to preprocessing + /v1/predict done by hand — including
+    a frame whose people outnumber max_batch (server-side split)."""
+    from rsgnet_tpu.serving.http_server import (make_server,
+                                                predict_image_remote)
+    from rsgnet_tpu.serving.preprocess import crops_from_boxes
+    serve_fn, image_shape, _ = served
+    h, w, _ = image_shape
+    eng = ServingEngine(serve_fn, buckets=(1, 2, 4),
+                        image_shape=image_shape, image_dtype=np.uint8)
+    batcher = DynamicBatcher(eng, max_wait_ms=5.0)
+    server = make_server(batcher, port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    url = "http://%s:%d" % server.server_address
+    try:
+        rng = np.random.default_rng(13)
+        frame = rng.integers(0, 256, (120, 160, 3), dtype=np.uint8)
+        # 6 boxes > max_batch 4: forces the server-side split
+        boxes = np.stack([np.array([10 * i, 5 * i, 50, 70], np.float32)
+                          for i in range(6)])
+        crops, centers, scales = crops_from_boxes(frame, boxes, (w, h))
+        # ground truth: the same crops through the raw fn (6 > max_batch 4,
+        # so a single /v1/predict would be rejected — the split is exactly
+        # what this route adds)
+        want_p, want_m = direct(serve_fn, (crops, centers, scales))
+        got_p, got_m = predict_image_remote(url, frame, boxes, timeout=300)
+        assert got_p.shape == (6, 17, 2) and got_m.shape == (6, 17, 1)
+        np.testing.assert_allclose(got_p, want_p, atol=1e-5)
+        np.testing.assert_allclose(got_m, want_m, atol=1e-5)
+        # malformed: missing boxes -> 400
+        import urllib.error
+        import urllib.request
+        buf = io.BytesIO()
+        np.savez(buf, image=frame)
+        bad = urllib.request.Request(url + "/v1/predict_image",
+                                     data=buf.getvalue(), method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(bad, timeout=30)
+        assert ei.value.code == 400
+    finally:
+        server.shutdown()
+        server.server_close()
+        batcher.close()
+
+
+def test_http_predict_image_float_engine(served):
+    """A float32 engine (artifact exported with normalize_input=False)
+    serves normalized crops: the route must apply the ImageNet normalization
+    server-side and still match the uint8 engine's answers."""
+    from rsgnet_tpu.core.inference import make_inference_fn
+    from rsgnet_tpu.serving.http_server import (make_server,
+                                                predict_image_remote)
+    serve_fn, image_shape, cfg = served
+    h, w, _ = image_shape
+    model = get_pose_net(cfg)
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, h, w, 3), np.float32), train=False)
+    infer = make_inference_fn(cfg, model, normalize_input=False)
+
+    def float_fn(images, centers, scales):
+        return infer(variables, images, centers, scales)
+
+    eng = ServingEngine(float_fn, buckets=(1, 2),
+                        image_shape=image_shape, image_dtype=np.float32)
+    batcher = DynamicBatcher(eng, max_wait_ms=5.0)
+    server = make_server(batcher, port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    url = "http://%s:%d" % server.server_address
+    try:
+        rng = np.random.default_rng(17)
+        frame = rng.integers(0, 256, (90, 110, 3), dtype=np.uint8)
+        boxes = np.array([[5, 5, 60, 80]], np.float32)
+        got_p, got_m = predict_image_remote(url, frame, boxes, timeout=300)
+        # ground truth through the uint8 fixture fn (normalize on device)
+        from rsgnet_tpu.serving.preprocess import crops_from_boxes
+        crops, centers, scales = crops_from_boxes(frame, boxes, (w, h))
+        want_p, want_m = direct(serve_fn, (crops, centers, scales))
+        np.testing.assert_allclose(got_p, want_p, atol=1e-3)
+        np.testing.assert_allclose(got_m, want_m, atol=1e-4)
+    finally:
+        server.shutdown()
+        server.server_close()
+        batcher.close()
+
+
 def test_engine_on_exported_artifact(served):
     """The engine serves a StableHLO artifact (symbolic batch dim) the same
     as the live fn — the deployment configuration docs/SERVING.md

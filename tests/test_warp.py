@@ -1,6 +1,7 @@
 """Tests for the on-device affine warp vs. bilinear-sampling oracle."""
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from rsgnet_tpu.ops import affine, warp
 
@@ -46,6 +47,42 @@ def test_warp_identity():
     got = np.asarray(warp.affine_warp(jnp.asarray(img), jnp.asarray(ident),
                                       (12, 16)))
     np.testing.assert_allclose(got, img, atol=1e-5)
+
+
+def test_warp_affine_np_matches_oracle_and_device():
+    """The host-side vectorized NumPy sampler (serving preprocessing / the
+    no-cv2 host-crop path) agrees with the per-pixel oracle AND the device
+    warp, including out-of-bounds zero borders."""
+    rng = np.random.RandomState(3)
+    img = rng.uniform(0, 255, size=(40, 30, 3)).astype(np.float32)
+    trans = affine.get_affine_transform([15.0, 20.0], [0.15, 0.2], 30.0,
+                                        (24, 32))
+    got = warp.warp_affine_np(img, trans, (24, 32))
+    want = _warp_affine_oracle(img, trans, (24, 32))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-2)
+    dev = np.asarray(warp.affine_warp(jnp.asarray(img), jnp.asarray(trans),
+                                      (24, 32)))
+    np.testing.assert_allclose(got, dev, rtol=1e-4, atol=1e-2)
+    # a transform reaching far outside the source: borders are zeros
+    far = affine.get_affine_transform([200.0, 200.0], [0.2, 0.25], 0.0,
+                                      (16, 16))
+    out = warp.warp_affine_np(img, far, (16, 16))
+    np.testing.assert_array_equal(out, np.zeros_like(out))
+
+
+def test_host_affine_crop_uint8():
+    """cv2 branch vs NumPy branch of host_affine_crop on uint8: equal to
+    within 1 gray level (cv2's fixed-point arithmetic vs float rounding)."""
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.RandomState(4)
+    img = rng.randint(0, 256, size=(50, 40, 3), dtype=np.uint8)
+    trans = affine.get_affine_transform([20.0, 25.0], [0.2, 0.25], 0.0,
+                                        (24, 32))
+    via_cv2 = warp.host_affine_crop(img, trans, (24, 32))
+    assert via_cv2.dtype == np.uint8 and via_cv2.shape == (32, 24, 3)
+    via_np = np.clip(np.rint(warp.warp_affine_np(img, trans, (24, 32))),
+                     0, 255).astype(np.uint8)
+    assert np.abs(via_cv2.astype(int) - via_np.astype(int)).max() <= 1
 
 
 def test_invert_affine():

@@ -11,8 +11,10 @@
 
 Requests are raw uint8 crops at MODEL.IMAGE_SIZE plus each crop's
 center/scale (the detector's box mapping, pixel_std 200); responses are
-image-space keypoints. Protocol + client helper:
-``rsgnet_tpu.serving.http_server`` (npz over POST — stdlib only, both ends).
+image-space keypoints. End applications can instead POST /v1/predict_image
+(one raw frame of any size + detector boxes — the server crops). Protocol +
+client helpers: ``rsgnet_tpu.serving.http_server`` (npz over POST — stdlib
+only, both ends).
 
 The server coalesces concurrent requests into device batches
 (``DynamicBatcher``; knobs: --max-wait-ms, --buckets, --in-flight) and
