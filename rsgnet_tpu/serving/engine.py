@@ -107,17 +107,20 @@ class ServingEngine:
             self._bucket_calls[b] += 1
         return preds[:n], maxvals[:n]
 
-    def warmup(self, buckets: Sequence[int] | None = None):
+    def warmup(self, buckets: Sequence[int] | None = None,
+               timing_repeats: int = 2):
         """Pre-compile the given buckets (default: all) with dummy requests
         so the first real request never pays an XLA compile. Requires
         ``image_shape`` (and uses ``image_dtype`` or float32).
 
-        Also MEASURES each bucket: a second, post-compile call is timed to
-        a host materialization and recorded in ``bucket_cost`` — the
-        batcher's split-vs-pad decisions are then driven by this box's real
-        per-dispatch costs (an overhead-bound model makes small buckets
-        nearly as expensive as large ones; instance counting alone would
-        mis-split)."""
+        Also MEASURES each bucket: ``timing_repeats`` post-compile calls
+        are timed to a host materialization and the MIN is recorded in
+        ``bucket_cost`` — the batcher's split-vs-pad decisions are then
+        driven by this box's real per-dispatch costs (an overhead-bound
+        model makes small buckets nearly as expensive as large ones;
+        instance counting alone would mis-split). Min-of-N because dispatch
+        noise is additive: one anomalous sample (tunnel hiccup, host page
+        fault) must not poison every subsequent split decision."""
         if self.image_shape is None:
             raise ValueError("warmup needs image_shape to build dummy input")
         import time as _time
@@ -129,11 +132,14 @@ class ServingEngine:
             args = (imgs, np.full((b, 2), 32.0, np.float32),
                     np.ones((b, 2), np.float32))
             jax.block_until_ready(self._fn(*args))      # compile
-            t0 = _time.perf_counter()
-            out = self._fn(*args)
-            # materialize (tunnel rule: block_until_ready alone can lie)
-            jax.tree_util.tree_map(np.asarray, out)
-            self.bucket_cost[b] = _time.perf_counter() - t0
+            best = float("inf")
+            for _ in range(max(1, timing_repeats)):
+                t0 = _time.perf_counter()
+                out = self._fn(*args)
+                # materialize (tunnel rule: block_until_ready alone can lie)
+                jax.tree_util.tree_map(np.asarray, out)
+                best = min(best, _time.perf_counter() - t0)
+            self.bucket_cost[b] = best
 
     def stats(self) -> dict:
         with self._lock:
