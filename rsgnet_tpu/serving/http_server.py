@@ -9,7 +9,9 @@ Protocol (framework-free, binary-clean):
                      image-space keypoints and ``maxvals`` (B, K, 1) scores
   POST /v1/predict_image
                      body: ``.npz`` with ``image`` (H, W, 3) uint8 — ONE
-                     raw frame, any size — and ``boxes`` (N, 4) float
+                     raw frame, any size — OR ``jpeg`` (encoded frame
+                     bytes; decoded server-side by the native libjpeg
+                     loader) — and ``boxes`` (N, 4) float
                      [x, y, w, h] person boxes. The server does the
                      reference demo-path preprocessing itself
                      (serving/preprocess.py: box -> center/scale ->
@@ -112,7 +114,18 @@ def make_server(batcher: DynamicBatcher, host: str = "127.0.0.1",
             engine = batcher.engine
             try:
                 with self._load_body_npz() as z:
-                    image, boxes = z["image"], z["boxes"]
+                    boxes = z["boxes"]
+                    if "image" in z.files:
+                        image = z["image"]
+                    elif "jpeg" in z.files:
+                        # encoded frame (uint8 byte array): ~10x less
+                        # request bandwidth; decoded with the native
+                        # libjpeg loader (PIL/cv2 fallback)
+                        from rsgnet_tpu.utils.imageio import decode_image
+                        image = decode_image(z["jpeg"].tobytes())
+                    else:
+                        raise ValueError("need 'image' (H, W, 3 uint8) or "
+                                         "'jpeg' (encoded bytes)")
                 if engine.image_shape is None:
                     raise ValueError("server engine has no image_shape; "
                                      "/v1/predict_image needs it to size "
@@ -178,14 +191,23 @@ def predict_remote(url: str, images, centers, scales, timeout: float = 120.0):
             return z["preds"], z["maxvals"]
 
 
-def predict_image_remote(url: str, image, boxes, timeout: float = 120.0):
+def predict_image_remote(url: str, image=None, boxes=None,
+                         timeout: float = 120.0, jpeg: bytes | None = None):
     """Client helper for ``/v1/predict_image``: one raw (H, W, 3) uint8
-    frame + (N, 4) [x, y, w, h] person boxes; returns (preds (N, K, 2)
-    frame-space keypoints, maxvals (N, K, 1))."""
+    frame (``image``) OR one encoded frame (``jpeg`` bytes — ~10x less
+    request bandwidth, decoded server-side) + (N, 4) [x, y, w, h] person
+    boxes; returns (preds (N, K, 2) frame-space keypoints,
+    maxvals (N, K, 1))."""
     import urllib.request
+    if (image is None) == (jpeg is None):
+        raise ValueError("pass exactly one of image= or jpeg=")
     buf = io.BytesIO()
-    np.savez(buf, image=np.asarray(image, np.uint8),
-             boxes=np.asarray(boxes, np.float32))
+    payload = {"boxes": np.asarray(boxes, np.float32)}
+    if jpeg is not None:
+        payload["jpeg"] = np.frombuffer(jpeg, np.uint8)
+    else:
+        payload["image"] = np.asarray(image, np.uint8)
+    np.savez(buf, **payload)
     req = urllib.request.Request(
         url.rstrip("/") + "/v1/predict_image", data=buf.getvalue(),
         headers={"Content-Type": "application/octet-stream"}, method="POST")

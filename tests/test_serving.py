@@ -321,7 +321,22 @@ def test_http_predict_image(served):
         assert got_p.shape == (6, 17, 2) and got_m.shape == (6, 17, 1)
         np.testing.assert_allclose(got_p, want_p, atol=1e-5)
         np.testing.assert_allclose(got_m, want_m, atol=1e-5)
-        # malformed: missing boxes -> 400
+        # encoded-frame flavor: jpeg bytes must equal posting the decoded
+        # pixels (JPEG is lossy, so ground truth is the same decoded array
+        # through the image= flavor — byte-identical inputs server-side)
+        from PIL import Image
+        from rsgnet_tpu.utils.imageio import decode_image
+        jbuf = io.BytesIO()
+        Image.fromarray(frame).save(jbuf, format="JPEG", quality=90)
+        jpeg_bytes = jbuf.getvalue()
+        want_jp, want_jm = predict_image_remote(
+            url, image=decode_image(jpeg_bytes), boxes=boxes[:3],
+            timeout=300)
+        got_jp, got_jm = predict_image_remote(url, jpeg=jpeg_bytes,
+                                              boxes=boxes[:3], timeout=300)
+        np.testing.assert_allclose(got_jp, want_jp, atol=1e-5)
+        np.testing.assert_allclose(got_jm, want_jm, atol=1e-5)
+        # malformed: missing boxes -> 400; neither image nor jpeg -> 400
         import urllib.error
         import urllib.request
         buf = io.BytesIO()
@@ -331,6 +346,16 @@ def test_http_predict_image(served):
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(bad, timeout=30)
         assert ei.value.code == 400
+        buf = io.BytesIO()
+        np.savez(buf, boxes=boxes)
+        bad = urllib.request.Request(url + "/v1/predict_image",
+                                     data=buf.getvalue(), method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(bad, timeout=30)
+        assert ei.value.code == 400
+        with pytest.raises(ValueError, match="exactly one"):
+            predict_image_remote(url, image=frame, jpeg=jpeg_bytes,
+                                 boxes=boxes)
     finally:
         server.shutdown()
         server.server_close()

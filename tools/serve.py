@@ -98,7 +98,8 @@ def main():
     batcher = DynamicBatcher(engine, max_wait_ms=args.max_wait_ms,
                              in_flight=args.in_flight)
     server = make_server(batcher, host=args.host, port=args.port)
-    log.info("serving on http://%s:%d (POST /v1/predict, GET /v1/stats)",
+    log.info("serving on http://%s:%d (POST /v1/predict, "
+             "POST /v1/predict_image, GET /v1/stats)",
              *server.server_address)
     try:
         server.serve_forever()
