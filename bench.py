@@ -17,6 +17,26 @@ true END-TO-END eval path (640^2 padded source -> device warp -> model ->
 flip-test -> decode), which includes the preprocessing the headline excludes
 (VERDICT round-1: report both; optimize the real one).
 
+OUTAGE RESILIENCE (VERDICT round-3 item 1): round 3's driver artifact was
+rc=124/parsed-null because one hung remote compile (axon-tunnel outage)
+starved every output line. This harness therefore runs as an ORCHESTRATOR:
+
+- the parent process never imports jax — nothing backend-side can hang it;
+- each section runs in a child process (``python bench.py --section NAME``)
+  under a hard wall-clock watchdog; a hung compile becomes a
+  ``"skipped: timeout"`` JSON line, not silence;
+- children share a persistent XLA compile cache (same mechanism as
+  tests/conftest.py), so repeat sections/runs load AOT results;
+- the HEADLINE section is measured FIRST (cheapest program, the metric the
+  driver records) but its line is printed LAST so the driver's
+  last-line parser finds it; auxiliary sections run after, inside a global
+  wall-clock budget, and are skipped (with a skip line) once the budget is
+  spent. If the headline section itself dies, it is retried once in a
+  reduced ``--fast`` shape; if that also fails but the strictly-harder e2e
+  protocol produced a number, that value is reported as a conservative
+  stand-in (flagged in ``unit``); only if nothing measured does the line
+  carry ``value: null``.
+
 ``vs_baseline`` ALWAYS normalizes by an estimate of the reference stack's
 A100 throughput for the SAME protocol (uniform semantics across every line —
 VERDICT round-2 item 4). No published figure exists (BASELINE.md:23 — the
@@ -38,11 +58,10 @@ The driver target is >=2x A100, i.e. vs_baseline >= 2.0 on every line.
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
-
-import jax
-import jax.numpy as jnp
-import numpy as np
 
 A100_REF_IMAGES_PER_SEC = 800.0   # estimated reference A100 eval throughput
 A100_REF_TRAIN_IMAGES_PER_SEC = 400.0   # estimated A100 train throughput
@@ -50,8 +69,105 @@ BATCH = 128
 DISTINCT = 8
 ITERS = 30
 
+_HERE = os.path.dirname(os.path.abspath(__file__))
 
-def bench_e2e(cfg, model, variables,
+# Orchestration knobs (env-overridable so tests can shrink them).
+SECTION_TIMEOUT = float(os.environ.get("RSGNET_BENCH_SECTION_TIMEOUT", 240))
+GLOBAL_BUDGET = float(os.environ.get("RSGNET_BENCH_BUDGET", 520))
+
+_HEADLINE_METRIC = "coco_val_topdown_inference_images_per_sec_per_chip"
+_SECTION_METRICS = {
+    "headline": _HEADLINE_METRIC,
+    "train": "train_step_images_per_sec_per_chip",
+    "e2e": "coco_val_e2e_eval_images_per_sec_per_chip",
+    "full": "coco_val_e2e_full_images_per_sec_per_chip",
+    "res50": "res50_e2e_eval_images_per_sec_per_chip",
+}
+# Headline first (the driver-recorded metric must be banked before anything
+# expensive can hang); train is the costliest compile so it goes last among
+# the aux sections — a spent budget then skips it loudly instead of eating
+# the cheaper eval lines with it.
+_SECTION_ORDER = ("headline", "e2e", "full", "res50", "train")
+
+
+def _wire_compile_cache():
+    """Persistent XLA compile cache for child processes — same mechanism as
+    tests/conftest.py:34-39. On a degraded tunnel, repeat runs (and the
+    driver's end-of-round run after this session's runs) load AOT results
+    instead of re-paying remote compiles."""
+    if os.environ.get("RSGNET_NO_COMPILE_CACHE"):
+        return
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(_HERE, ".jax_compile_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+# ---------------------------------------------------------------------------
+# Sections (run inside child processes)
+# ---------------------------------------------------------------------------
+
+def _flagship():
+    from rsgnet_tpu.config.defaults import rsgnet_w32_256x192
+    from rsgnet_tpu.models import get_pose_net
+
+    import jax
+    import numpy as np
+
+    cfg = rsgnet_w32_256x192()
+    model = get_pose_net(cfg)
+    h, w = cfg.MODEL.IMAGE_SIZE[1], cfg.MODEL.IMAGE_SIZE[0]
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, h, w, 3), np.float32), train=False)
+    return cfg, model, variables
+
+
+def bench_headline(fast=False):
+    """The driver-recorded metric: pre-staged 256x192 crops -> forward ->
+    flip-test -> decode, pipelined, every output materialized."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rsgnet_tpu.core.inference import make_inference_fn
+
+    cfg, model, variables = _flagship()
+    h, w = cfg.MODEL.IMAGE_SIZE[1], cfg.MODEL.IMAGE_SIZE[0]
+    batch, iters = (64, 10) if fast else (BATCH, ITERS)
+
+    rng = np.random.RandomState(0)
+    xs = [jnp.asarray(rng.uniform(-2, 2, (batch, h, w, 3)).astype(np.float32))
+          for _ in range(DISTINCT)]
+    centers = jnp.tile(jnp.asarray([[320.0, 240.0]], jnp.float32), (batch, 1))
+    scales = jnp.tile(jnp.asarray([[1.2, 1.6]], jnp.float32), (batch, 1))
+
+    infer = make_inference_fn(cfg, model)
+    for i in range(2):                    # warm (compile) + settle
+        preds, maxvals = infer(variables, xs[i], centers, scales)
+    np.asarray(preds), np.asarray(maxvals)
+
+    t0 = time.perf_counter()
+    outs = [infer(variables, xs[i % DISTINCT], centers, scales)
+            for i in range(iters)]
+    # materialize every output — forces all compute, defeats async illusions
+    sink = [(np.asarray(p), np.asarray(m)) for p, m in outs]
+    dt = time.perf_counter() - t0
+    assert all(np.isfinite(p).all() for p, _ in sink)
+
+    ips = batch * iters / dt
+    unit = "images/sec/chip (256x192, flip-test on, decode included)"
+    if fast:
+        unit += " [fast retry: B=64, 10 iters]"
+    print(json.dumps({
+        "metric": _HEADLINE_METRIC,
+        "value": round(ips, 2),
+        "unit": unit,
+        "vs_baseline": round(ips / A100_REF_IMAGES_PER_SEC, 3),
+    }))
+
+
+def bench_e2e(cfg=None, model=None, variables=None,
               metric="coco_val_e2e_eval_images_per_sec_per_chip",
               b=128):
     """True end-to-end eval throughput: 640^2 uint8 sources, fused device
@@ -61,7 +177,14 @@ def bench_e2e(cfg, model, variables,
     B=128: like the train step, this path is per-op-overhead-bound and
     batch amortizes it (B=64: 900-972, B=128: 1857, B=256: 1791 img/s
     measured round 2)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
     from rsgnet_tpu.core.inference import make_e2e_fn
+
+    if model is None:
+        cfg, model, variables = _flagship()
 
     src, iters = 640, 12
     rng = np.random.RandomState(1)
@@ -89,7 +212,7 @@ def bench_e2e(cfg, model, variables,
     }))
 
 
-def bench_res50(variables_rng=0):
+def bench_res50():
     """Second model family (SimpleBaseline res50 @ 256x192) on the same
     e2e protocol — the repo's highest-MXU-utilization model (57 eff
     TFLOP/s, BENCH_NOTES round 3). B=192 is its sweep optimum.
@@ -98,27 +221,36 @@ def bench_res50(variables_rng=0):
     res50@256x192 is the reference family's lighter/faster member (~5.4 vs
     ~7.1 GFLOP/fwd), so a single fixed eval denominator keeps the series
     comparable rather than inventing a per-model estimate."""
+    import jax
+    import numpy as np
+
     from rsgnet_tpu.config.defaults import res50_256x192
     from rsgnet_tpu.models import get_pose_net
 
     cfg = res50_256x192()
     model = get_pose_net(cfg)
     h, w = cfg.MODEL.IMAGE_SIZE[1], cfg.MODEL.IMAGE_SIZE[0]
-    variables = model.init(jax.random.PRNGKey(variables_rng),
+    variables = model.init(jax.random.PRNGKey(0),
                            np.zeros((1, h, w, 3), np.float32), train=False)
     bench_e2e(cfg, model, variables,
               metric="res50_e2e_eval_images_per_sec_per_chip", b=192)
 
 
-def bench_e2e_full(cfg, model, variables):
+def bench_e2e_full():
     """The WHOLE BASELINE config-2 contract in one device program: 640^2
     uint8 sources -> device warp -> forward -> flip-test -> decode ->
     rescoring (mean kpt score above IN_VIS_THRE x box score) -> per-image
     greedy OKS-NMS — nothing left on the host but the final gather
     (VERDICT round-2 item 3: the e2e number must include suppression)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
     from rsgnet_tpu.core.inference import make_e2e_fn
     from rsgnet_tpu.data.skeletons import get_spec
     from rsgnet_tpu.ops.nms import oks_nms_jax
+
+    cfg, model, variables = _flagship()
 
     b, src, iters, per_img = 128, 640, 12, 16
     spec = get_spec("coco")
@@ -177,7 +309,7 @@ def bench_e2e_full(cfg, model, variables):
     }))
 
 
-def bench_train(cfg, model):
+def bench_train():
     """FULL train step (on-device shear-warp aug from 640^2 uint8 sources +
     fwd + bwd + fused optimizer update), pipelined: the state threads on
     device and ONE loss scalar is materialized at the end — matching how
@@ -190,8 +322,17 @@ def bench_train(cfg, model):
     TRAIN.WARP="auto" resolves to the fused Pallas warp on the real chip
     (measured 1002.5 img/s @B=128 vs 806.0 on the XLA shear path —
     BENCH_NOTES "fused Pallas shear warp")."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rsgnet_tpu.config.defaults import rsgnet_w32_256x192
     from rsgnet_tpu.core.train import create_train_state, make_train_step
     from rsgnet_tpu.data.skeletons import get_spec
+    from rsgnet_tpu.models import get_pose_net
+
+    cfg = rsgnet_w32_256x192()
+    model = get_pose_net(cfg)
 
     b, src, iters = 128, 640, 10
     rng = np.random.RandomState(2)
@@ -210,10 +351,7 @@ def bench_train(cfg, model):
     step = make_train_step(cfg, model, get_spec("coco"))
     # the ONE shared implementation of the pipelined scalar-fetch protocol
     # (tools/_profiling.py) — duplicating it here risks silent divergence
-    import os
-    import sys
-    sys.path.insert(0, os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "tools"))
+    sys.path.insert(0, os.path.join(_HERE, "tools"))
     from _profiling import timeit_pipelined_step
     dt = timeit_pipelined_step("train step (pipelined)", step, state,
                                [(bt, key) for bt in batches], iters=iters,
@@ -228,70 +366,125 @@ def bench_train(cfg, model):
     }))
 
 
-def main():
-    from rsgnet_tpu.config.defaults import rsgnet_w32_256x192
-    from rsgnet_tpu.core.inference import make_inference_fn
-    from rsgnet_tpu.models import get_pose_net
-
-    cfg = rsgnet_w32_256x192()
-    model = get_pose_net(cfg)
-    h, w = cfg.MODEL.IMAGE_SIZE[1], cfg.MODEL.IMAGE_SIZE[0]
-
-    rng = np.random.RandomState(0)
-    xs = [jnp.asarray(rng.uniform(-2, 2, (BATCH, h, w, 3)).astype(np.float32))
-          for _ in range(DISTINCT)]
-    centers = jnp.tile(jnp.asarray([[320.0, 240.0]], jnp.float32), (BATCH, 1))
-    scales = jnp.tile(jnp.asarray([[1.2, 1.6]], jnp.float32), (BATCH, 1))
-
-    variables = model.init(jax.random.PRNGKey(0), xs[0][:1], train=False)
-    # auxiliary metrics never break the headline line the driver records
-    try:
-        bench_train(cfg, model)
-    except Exception as e:
-        print(json.dumps({"metric": "train_step_images_per_sec_per_chip",
-                          "value": None, "unit": f"skipped: {e!r}",
-                          "vs_baseline": None}))
-    try:
-        bench_e2e(cfg, model, variables)
-    except Exception as e:
-        print(json.dumps({"metric": "coco_val_e2e_eval_images_per_sec_per_chip",
-                          "value": None, "unit": f"skipped: {e!r}",
-                          "vs_baseline": None}))
-    try:
-        bench_e2e_full(cfg, model, variables)
-    except Exception as e:
-        print(json.dumps({"metric": "coco_val_e2e_full_images_per_sec_per_chip",
-                          "value": None, "unit": f"skipped: {e!r}",
-                          "vs_baseline": None}))
-    try:
+def _run_child_section(name, fast=False):
+    """Child-process entry: wire the compile cache, honor fault injection
+    (tests only), run one section, print its JSON line."""
+    faults = os.environ.get("RSGNET_BENCH_FAULT", "").split(",")
+    if name in faults:
+        time.sleep(3600)                 # simulated hung remote compile
+    if os.environ.get("RSGNET_BENCH_FAKE"):
+        # Test-only orchestration mode: no jax, instant deterministic line.
+        print(json.dumps({
+            "metric": _SECTION_METRICS[name],
+            "value": 1000.0 + len(name),
+            "unit": "FAKE (RSGNET_BENCH_FAKE test mode)",
+            "vs_baseline": 2.5,
+        }))
+        return
+    _wire_compile_cache()
+    if name == "headline":
+        bench_headline(fast=fast)
+    elif name == "train":
+        bench_train()
+    elif name == "e2e":
+        bench_e2e()
+    elif name == "full":
+        bench_e2e_full()
+    elif name == "res50":
         bench_res50()
-    except Exception as e:
-        print(json.dumps({"metric": "res50_e2e_eval_images_per_sec_per_chip",
-                          "value": None, "unit": f"skipped: {e!r}",
-                          "vs_baseline": None}))
-    infer = make_inference_fn(cfg, model)
+    else:
+        raise SystemExit(f"unknown section {name!r}")
 
-    # warm (compile) + settle
-    for i in range(2):
-        preds, maxvals = infer(variables, xs[i], centers, scales)
-    np.asarray(preds), np.asarray(maxvals)
 
-    t0 = time.perf_counter()
-    outs = [infer(variables, xs[i % DISTINCT], centers, scales)
-            for i in range(ITERS)]
-    # materialize every output — forces all compute, defeats async illusions
-    sink = [(np.asarray(p), np.asarray(m)) for p, m in outs]
-    dt = time.perf_counter() - t0
-    assert all(np.isfinite(p).all() for p, _ in sink)
+# ---------------------------------------------------------------------------
+# Orchestrator (parent process — never imports jax)
+# ---------------------------------------------------------------------------
 
-    ips = BATCH * ITERS / dt
-    print(json.dumps({
-        "metric": "coco_val_topdown_inference_images_per_sec_per_chip",
-        "value": round(ips, 2),
-        "unit": "images/sec/chip (256x192, flip-test on, decode included)",
-        "vs_baseline": round(ips / A100_REF_IMAGES_PER_SEC, 3),
-    }))
+def _spawn_section(name, timeout, fast=False):
+    """Run one section in a watchdogged child. Returns (record|None, err)."""
+    cmd = [sys.executable, os.path.abspath(__file__), "--section", name]
+    if fast:
+        cmd.append("--fast")
+    try:
+        p = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=timeout)
+    except subprocess.TimeoutExpired:
+        return None, f"timeout after {timeout:.0f}s"
+    for line in reversed(p.stdout.splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                rec = json.loads(line)
+                if rec.get("value") is not None:
+                    return rec, None
+                return None, rec.get("unit", "null value")
+            except json.JSONDecodeError:
+                continue
+    tail = (p.stderr or "").strip().splitlines()
+    return None, (f"rc={p.returncode}; no JSON line"
+                  + (f"; stderr: {tail[-1][:160]}" if tail else ""))
+
+
+def _skip_line(metric, why):
+    print(json.dumps({"metric": metric, "value": None,
+                      "unit": f"skipped: {why}", "vs_baseline": None}),
+          flush=True)
+
+
+def main():
+    t_start = time.monotonic()
+
+    def remaining():
+        return GLOBAL_BUDGET - (time.monotonic() - t_start)
+
+    # 1) Bank the headline FIRST — the driver-recorded metric must survive
+    #    anything the aux sections do to the budget.
+    headline, err = _spawn_section(
+        "headline", min(SECTION_TIMEOUT, max(remaining(), 10)))
+    headline_err = err
+
+    # 2) Aux sections, cheapest-compile first, inside the global budget.
+    e2e_rec = None
+    for name in _SECTION_ORDER[1:]:
+        metric = _SECTION_METRICS[name]
+        budget = remaining() - 15        # always reserve the tail for print
+        if budget < 20:
+            _skip_line(metric, f"global budget spent "
+                               f"({GLOBAL_BUDGET:.0f}s)")
+            continue
+        rec, err = _spawn_section(name, min(SECTION_TIMEOUT, budget))
+        if rec is not None:
+            print(json.dumps(rec), flush=True)
+            if name == "e2e":
+                e2e_rec = rec
+        else:
+            _skip_line(metric, err)
+
+    # 3) Headline retry / fallback, then print it LAST.
+    if headline is None and remaining() > 30:
+        headline, headline_err = _spawn_section(
+            "headline", min(SECTION_TIMEOUT, remaining() - 5), fast=True)
+    if headline is None and e2e_rec is not None:
+        # The e2e protocol is the SAME metric plus on-device preprocessing —
+        # strictly more work per image, so its rate is a conservative
+        # stand-in for the headline, honestly flagged.
+        headline = {
+            "metric": _HEADLINE_METRIC,
+            "value": e2e_rec["value"],
+            "unit": ("images/sec/chip [conservative fallback: headline "
+                     f"section failed ({headline_err}); value is the "
+                     "strictly-harder e2e protocol's rate]"),
+            "vs_baseline": e2e_rec["vs_baseline"],
+        }
+    if headline is None:
+        headline = {"metric": _HEADLINE_METRIC, "value": None,
+                    "unit": f"skipped: {headline_err}", "vs_baseline": None}
+    print(json.dumps(headline), flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    if "--section" in sys.argv:
+        i = sys.argv.index("--section")
+        _run_child_section(sys.argv[i + 1], fast="--fast" in sys.argv)
+    else:
+        main()
