@@ -82,6 +82,15 @@ class ModelConfig:
     # param tree (models/hrnet.py::_space_to_depth_conv). Applies to the
     # HRNet 3x3 stem and the pose_resnet 7x7 stem.
     S2D_STEM: bool = False
+    # TPU-native addition: execute each HighResolutionModule's exchange-
+    # fusion edges as merged wide dispatches — a source branch's 1x1
+    # up-edges become ONE channel-concat conv (a genuinely wider MXU
+    # matmul), and its down-chains advance level-by-level as shared-input
+    # (level 0) / block-diagonal (deeper levels) merged convs with a single
+    # fused BatchNorm over the concatenated channels. Same math to
+    # reduction-order rounding, identical param tree (per-edge kernels and
+    # BN params keep their ConvBN paths; models/hrnet.py::_merged_fusion).
+    FUSE_MERGED: bool = False
     EXTRA: ModelExtra = field(default_factory=_w32_extra)
     RSG: RSGConfig = field(default_factory=RSGConfig)
 

@@ -156,6 +156,67 @@ def _upsample_nearest(x, factor: int):
     return jnp.repeat(x, factor, axis=2)
 
 
+class _BNState(nn.Module):
+    """The SAME param/variable tree as ``nn.BatchNorm`` (scale/bias params,
+    batch_stats mean/var) without executing normalization — the merged
+    fusion path normalizes once over channel-concatenated edges, but each
+    edge keeps its own checkpoint-compatible BN leaves. Called a second
+    time with ``update=True`` to fold the merged batch statistics back into
+    this edge's running stats (flax EMA rule, nn.BatchNorm:
+    ra = momentum*ra + (1-momentum)*batch)."""
+    features: int
+
+    @nn.compact
+    def __call__(self, batch_mean=None, batch_var=None, update=False):
+        f = (self.features,)
+        scale = self.param("scale", nn.initializers.ones, f, jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, f, jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros(f, jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones(f, jnp.float32))
+        if update and not self.is_initializing():
+            ra_mean.value = (BN_MOMENTUM * ra_mean.value
+                             + (1 - BN_MOMENTUM) * batch_mean)
+            ra_var.value = (BN_MOMENTUM * ra_var.value
+                            + (1 - BN_MOMENTUM) * batch_var)
+        return scale, bias, ra_mean.value, ra_var.value
+
+
+class _EdgeParams(nn.Module):
+    """Declares one fuse edge's ConvBN param tree (<name>/conv/kernel,
+    <name>/bn/{scale,bias} + batch_stats mean/var) for merged execution."""
+    features: int
+    in_features: int
+    kernel: int = 1
+
+    @nn.compact
+    def __call__(self, batch_mean=None, batch_var=None, update=False):
+        kern = _ConvKernel((self.kernel, self.kernel, self.in_features,
+                            self.features), name="conv")()
+        scale, bias, ra_mean, ra_var = _BNState(self.features, name="bn")(
+            batch_mean, batch_var, update)
+        return kern, scale, bias, ra_mean, ra_var
+
+
+def _block_diag_kernel(kernels):
+    """(kh,kw,ci,co) kernels -> one block-diagonal (kh,kw,sum ci,sum co):
+    conv(concat inputs, K) == concat of the per-kernel convs. The zero
+    off-diagonal blocks contribute exact 0.0 products, so the outputs match
+    the separate convs bit-for-bit; the point is ONE dispatch instead of N
+    on a per-op-overhead-bound graph."""
+    kh, kw = kernels[0].shape[:2]
+    ci = sum(k.shape[2] for k in kernels)
+    co = sum(k.shape[3] for k in kernels)
+    out = jnp.zeros((kh, kw, ci, co), kernels[0].dtype)
+    io = oo = 0
+    for k in kernels:
+        out = out.at[:, :, io:io + k.shape[2], oo:oo + k.shape[3]].set(k)
+        io += k.shape[2]
+        oo += k.shape[3]
+    return out
+
+
 class HighResolutionModule(nn.Module):
     """Parallel branches of blocks + exchange-fusion units (reference §3.3).
 
@@ -171,6 +232,112 @@ class HighResolutionModule(nn.Module):
     num_channels: Sequence[int]     # raw config channels; blocks expand them
     multi_scale_output: bool = True
     dtype: Any = jnp.float32
+    merged_fuse: bool = False       # MODEL.FUSE_MERGED execution strategy
+
+    def _conv(self, x, kern, stride):
+        # mirrors nn.Conv(dtype=self.dtype): both operands cast to the
+        # compute dtype, SAME padding for the static kernel size
+        pad = (kern.shape[0] - 1) // 2
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kern.astype(self.dtype),
+            (stride, stride), ((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    @staticmethod
+    def _fused_bn(y, cols, train):
+        """One BatchNorm over channel-concatenated edges; exact per-channel
+        equivalence with per-edge nn.BatchNorm (same fp32 stats, same
+        fast-variance E[x^2]-E[x]^2, same scale*rsqrt association)."""
+        scale = jnp.concatenate([c[1] for c in cols])
+        bias = jnp.concatenate([c[2] for c in cols])
+        yf = y.astype(jnp.float32)
+        if train:
+            mean = jnp.mean(yf, (0, 1, 2))
+            var = jnp.mean(jnp.square(yf), (0, 1, 2)) - jnp.square(mean)
+            bm, bv = mean, var
+        else:
+            mean = jnp.concatenate([c[3] for c in cols])
+            var = jnp.concatenate([c[4] for c in cols])
+            bm = bv = None
+        mul = scale * jax.lax.rsqrt(var + 1e-5)
+        return (yf - mean) * mul + bias, bm, bv
+
+    def _merged_fusion(self, outs, out_ch, num_out, train):
+        """Exchange-fusion with merged dispatches (MODEL.FUSE_MERGED):
+
+        - a source branch's 1x1 up-edges share their input, so they run as
+          ONE channel-concat conv — a wider MXU matmul (e.g. stage4 branch3's
+          three convs to {W,2W,4W} become one 8W->7W matmul);
+        - its down-chains advance level-by-level: level 0 shares the source
+          input (concat merge); deeper levels have per-chain inputs at the
+          SAME resolution and merge block-diagonally;
+        - each merged conv gets one fused BatchNorm over the concat
+          channels; per-edge running stats are sliced back out.
+
+        Same math as the unmerged loop up to reduction-order rounding;
+        identical param tree (every edge keeps its ConvBN paths)."""
+        acc = list(outs[:num_out])               # identity contributions
+
+        def _apply(cols, edges, y, chans, train):
+            y, bm, bv = self._fused_bn(y, cols, train)
+            if train:
+                off = 0
+                for e, ch in zip(edges, chans):
+                    e(bm[off:off + ch], bv[off:off + ch], update=True)
+                    off += ch
+            return y
+
+        # up edges grouped by source j (targets i < j, i < num_out)
+        for j in range(1, self.num_branches):
+            targets = list(range(min(j, num_out)))
+            if not targets:
+                continue
+            edges = [_EdgeParams(out_ch[i], out_ch[j], 1,
+                                 name=f"fuse{i}_{j}") for i in targets]
+            cols = [e() for e in edges]
+            kern = jnp.concatenate([c[0] for c in cols], axis=-1)
+            y = self._conv(outs[j], kern, 1)
+            y = _apply(cols, edges, y, [out_ch[i] for i in targets], train)
+            off = 0
+            for i in targets:
+                yi = y[..., off:off + out_ch[i]]
+                off += out_ch[i]
+                acc[i] = acc[i] + _upsample_nearest(yi, 2 ** (j - i))
+
+        # down chains grouped by source j, advanced level-by-level
+        for j in range(self.num_branches):
+            targets = [i for i in range(j + 1, num_out)]
+            if not targets:
+                continue
+            cur = {i: outs[j] for i in targets}
+            for level in range(max(i - j for i in targets)):
+                active = [i for i in targets if i - j > level]
+                mods, chans = [], []
+                for i in active:
+                    last = level == i - j - 1
+                    mods.append((i, last, _EdgeParams(
+                        out_ch[i] if last else out_ch[j], out_ch[j], 3,
+                        name=f"fuse{i}_{j}_down{level}")))
+                    chans.append(out_ch[i] if last else out_ch[j])
+                cols = [m[2]() for m in mods]
+                if level == 0 or len(active) == 1:
+                    # shared input (level 0) / single chain: concat kernels
+                    kern = jnp.concatenate([c[0] for c in cols], axis=-1)
+                    xin = cur[active[0]]
+                else:
+                    kern = _block_diag_kernel([c[0] for c in cols])
+                    xin = jnp.concatenate([cur[i] for i in active], -1)
+                y = self._conv(xin, kern, 2)
+                y = _apply(cols, [m[2] for m in mods], y, chans, train)
+                off = 0
+                for (i, last, _), ch in zip(mods, chans):
+                    yi = y[..., off:off + ch]
+                    off += ch
+                    if last:
+                        acc[i] = acc[i] + yi         # relu only after the sum
+                    else:
+                        cur[i] = nn.relu(yi)
+        return [nn.relu(a) for a in acc]
 
     @nn.compact
     def __call__(self, xs, train: bool = False):
@@ -189,6 +356,8 @@ class HighResolutionModule(nn.Module):
             return outs
 
         num_out = self.num_branches if self.multi_scale_output else 1
+        if self.merged_fuse:
+            return self._merged_fusion(outs, out_ch, num_out, train)
         fused = []
         for i in range(num_out):
             acc = None
@@ -232,6 +401,7 @@ class PoseHighResolutionNet(nn.Module):
                 num_branches=scfg.NUM_BRANCHES, block=scfg.BLOCK,
                 num_blocks=scfg.NUM_BLOCKS, num_channels=scfg.NUM_CHANNELS,
                 multi_scale_output=mso, dtype=self.dtype,
+                merged_fuse=self.cfg.MODEL.FUSE_MERGED,
                 name=f"{name}_module{m}")(xs, train)
         return xs
 
