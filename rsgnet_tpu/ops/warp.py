@@ -22,6 +22,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# resolve cv2 once: host_affine_crop sits in the loader hot loop, and a
+# per-call failed ``import cv2`` costs a sys.path scan + caught ImportError
+# per dataset sample when cv2 is absent (ADVICE round 3)
+try:
+    import cv2 as _cv2
+except ImportError:      # pragma: no cover - image has cv2; keep the fallback
+    _cv2 = None
+
 
 def invert_affine(trans):
     """Invert 2x3 affine matrices. trans: (..., 2, 3) -> (..., 2, 3)."""
@@ -143,15 +151,13 @@ def host_affine_crop(img, trans, out_size):
     results rounded like cv2's fixed-point path). uint8 in -> uint8 out;
     float in -> float32 out."""
     size = (int(out_size[0]), int(out_size[1]))
-    try:
-        import cv2
-        return cv2.warpAffine(img, np.asarray(trans, np.float64), size,
-                              flags=cv2.INTER_LINEAR)
-    except ImportError:
-        out = warp_affine_np(img, trans, size)
-        if np.issubdtype(np.asarray(img).dtype, np.integer):
-            return np.clip(np.rint(out), 0, 255).astype(np.uint8)
-        return out
+    if _cv2 is not None:
+        return _cv2.warpAffine(img, np.asarray(trans, np.float64), size,
+                               flags=_cv2.INTER_LINEAR)
+    out = warp_affine_np(img, trans, size)
+    if np.issubdtype(np.asarray(img).dtype, np.integer):
+        return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    return out
 
 
 def affine_warp_batch(images, trans, out_size):

@@ -112,6 +112,22 @@ def make_server(batcher: DynamicBatcher, host: str = "127.0.0.1",
 
         def _predict_image(self):
             engine = batcher.engine
+            # server-side misconfiguration, not a client fault: without
+            # image_shape this route cannot size the crops (ADVICE round 3)
+            if engine.image_shape is None:
+                self._reply_json(500, {
+                    "error": "server engine has no image_shape; "
+                             "/v1/predict_image needs it to size the crops"})
+                return
+            if engine.image_dtype is None:
+                # raw 0-255 crops would silently feed a serve_fn that may
+                # expect normalized floats — fail loudly (ADVICE round 3)
+                import logging
+                logging.getLogger("rsgnet_tpu.serving").warning(
+                    "/v1/predict_image: engine.image_dtype is unset; "
+                    "sending RAW uint8 crops to the model — set image_dtype "
+                    "on the engine (tools/serve.py does) if the serve_fn "
+                    "expects normalized floats")
             try:
                 with self._load_body_npz() as z:
                     boxes = z["boxes"]
@@ -126,10 +142,6 @@ def make_server(batcher: DynamicBatcher, host: str = "127.0.0.1",
                     else:
                         raise ValueError("need 'image' (H, W, 3 uint8) or "
                                          "'jpeg' (encoded bytes)")
-                if engine.image_shape is None:
-                    raise ValueError("server engine has no image_shape; "
-                                     "/v1/predict_image needs it to size "
-                                     "the crops")
                 h, w, _ = engine.image_shape
                 crops, centers, scales = crops_from_boxes(image, boxes,
                                                           (w, h))
@@ -201,6 +213,9 @@ def predict_image_remote(url: str, image=None, boxes=None,
     import urllib.request
     if (image is None) == (jpeg is None):
         raise ValueError("pass exactly one of image= or jpeg=")
+    if boxes is None:
+        raise ValueError("boxes is required: (N, 4) [x, y, w, h] person "
+                         "boxes in frame coordinates")
     buf = io.BytesIO()
     payload = {"boxes": np.asarray(boxes, np.float32)}
     if jpeg is not None:
