@@ -34,8 +34,20 @@ starved every output line. This harness therefore runs as an ORCHESTRATOR:
   spent. If the headline section itself dies, it is retried once in a
   reduced ``--fast`` shape; if that also fails but the strictly-harder e2e
   protocol produced a number, that value is reported as a conservative
-  stand-in (flagged in ``unit``); only if nothing measured does the line
-  carry ``value: null``.
+  stand-in (flagged in ``unit``); in a TOTAL outage (every section dead)
+  the last direct measurement this machine recorded is re-reported with an
+  explicit STALE label (``.bench_last_good.json``); only with no history at
+  all does the line carry ``value: null``.
+
+Aux sections get the full remaining budget rather than a fixed cap — a cap
+below a program's cold-compile time would kill the child before it writes
+the compile cache and that section could never become warm; greedy budgets
+let the cache ratchet one section per run until all five lines complete
+(measured: run 1 banked e2e, run 4 completed e2e+full+res50).
+
+Operational note: this box has ONE host core — running ANYTHING CPU-heavy
+(pytest, training) concurrently starves the children's host work and can
+null the whole run (observed live, round 4).
 
 ``vs_baseline`` ALWAYS normalizes by an estimate of the reference stack's
 A100 throughput for the SAME protocol (uniform semantics across every line —
@@ -110,7 +122,7 @@ def _wire_compile_cache():
 
 def _flagship():
     from rsgnet_tpu.config.defaults import rsgnet_w32_256x192
-    from rsgnet_tpu.models import get_pose_net
+    from rsgnet_tpu.models import get_pose_net, init_variables
 
     import jax
     import numpy as np
@@ -118,8 +130,10 @@ def _flagship():
     cfg = rsgnet_w32_256x192()
     model = get_pose_net(cfg)
     h, w = cfg.MODEL.IMAGE_SIZE[1], cfg.MODEL.IMAGE_SIZE[0]
-    variables = model.init(jax.random.PRNGKey(0),
-                           np.zeros((1, h, w, 3), np.float32), train=False)
+    # ONE jitted init program (cache-loadable): eager init costs minutes of
+    # per-op remote-compile RTTs on the tunnel (measured round 4)
+    variables = init_variables(model, jax.random.PRNGKey(0),
+                               np.zeros((1, h, w, 3), np.float32))
     return cfg, model, variables
 
 
@@ -225,13 +239,13 @@ def bench_res50():
     import numpy as np
 
     from rsgnet_tpu.config.defaults import res50_256x192
-    from rsgnet_tpu.models import get_pose_net
+    from rsgnet_tpu.models import get_pose_net, init_variables
 
     cfg = res50_256x192()
     model = get_pose_net(cfg)
     h, w = cfg.MODEL.IMAGE_SIZE[1], cfg.MODEL.IMAGE_SIZE[0]
-    variables = model.init(jax.random.PRNGKey(0),
-                           np.zeros((1, h, w, 3), np.float32), train=False)
+    variables = init_variables(model, jax.random.PRNGKey(0),
+                               np.zeros((1, h, w, 3), np.float32))
     bench_e2e(cfg, model, variables,
               metric="res50_e2e_eval_images_per_sec_per_chip", b=192)
 
@@ -431,6 +445,31 @@ def _skip_line(metric, why):
           flush=True)
 
 
+_LAST_GOOD = (os.environ.get("RSGNET_BENCH_LAST_GOOD")
+              or os.path.join(_HERE, ".bench_last_good.json"))
+
+
+def _save_last_good(rec):
+    """Persist the freshest DIRECT headline measurement (total-outage
+    fallback; only ever reported with an explicit stale label)."""
+    if os.environ.get("RSGNET_BENCH_FAKE"):
+        return                       # never poison the file with test lines
+    try:
+        with open(_LAST_GOOD, "w") as f:
+            json.dump({**rec, "saved_at": time.strftime("%Y-%m-%d %H:%M:%S")},
+                      f)
+    except OSError:
+        pass
+
+
+def _load_last_good():
+    try:
+        with open(_LAST_GOOD) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
 def main():
     t_start = time.monotonic()
 
@@ -444,6 +483,11 @@ def main():
     headline_err = err
 
     # 2) Aux sections, cheapest-compile first, inside the global budget.
+    #    Each aux section may use ALL remaining budget (minus the print
+    #    reserve): a fixed per-section cap below a program's cold-compile
+    #    time would kill the child before it writes the compile cache and
+    #    the section could NEVER become warm; with the greedy budget the
+    #    cache accumulates one section per run until every line completes.
     e2e_rec = None
     for name in _SECTION_ORDER[1:]:
         metric = _SECTION_METRICS[name]
@@ -452,7 +496,7 @@ def main():
             _skip_line(metric, f"global budget spent "
                                f"({GLOBAL_BUDGET:.0f}s)")
             continue
-        rec, err = _spawn_section(name, min(SECTION_TIMEOUT, budget))
+        rec, err = _spawn_section(name, budget)
         if rec is not None:
             print(json.dumps(rec), flush=True)
             if name == "e2e":
@@ -464,6 +508,8 @@ def main():
     if headline is None and remaining() > 30:
         headline, headline_err = _spawn_section(
             "headline", min(SECTION_TIMEOUT, remaining() - 5), fast=True)
+    if headline is not None and "fallback" not in headline.get("unit", ""):
+        _save_last_good(headline)
     if headline is None and e2e_rec is not None:
         # The e2e protocol is the SAME metric plus on-device preprocessing —
         # strictly more work per image, so its rate is a conservative
@@ -476,6 +522,19 @@ def main():
                      "strictly-harder e2e protocol's rate]"),
             "vs_baseline": e2e_rec["vs_baseline"],
         }
+    if headline is None:
+        # total outage (every section dead — e.g. tunnel down): report the
+        # last DIRECT measurement this machine recorded, explicitly stale
+        prev = _load_last_good()
+        if prev is not None and prev.get("value") is not None:
+            headline = {
+                "metric": _HEADLINE_METRIC,
+                "value": prev["value"],
+                "unit": (f"images/sec/chip [STALE: re-reported from the "
+                         f"last healthy run ({prev.get('saved_at', '?')}); "
+                         f"this run's sections all failed: {headline_err}]"),
+                "vs_baseline": prev.get("vs_baseline"),
+            }
     if headline is None:
         headline = {"metric": _HEADLINE_METRIC, "value": None,
                     "unit": f"skipped: {headline_err}", "vs_baseline": None}

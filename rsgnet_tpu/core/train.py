@@ -62,9 +62,11 @@ def make_optimizer(cfg: Config, steps_per_epoch: int = 1000):
 
 
 def create_train_state(cfg: Config, model, rng, steps_per_epoch: int = 1000):
+    from rsgnet_tpu.models import init_variables
+
     h, w = cfg.MODEL.IMAGE_SIZE[1], cfg.MODEL.IMAGE_SIZE[0]
-    variables = model.init(rng, jnp.zeros((1, h, w, 3), jnp.float32),
-                           train=False)
+    variables = init_variables(model, rng,
+                               jnp.zeros((1, h, w, 3), jnp.float32))
     return TrainState.create(
         apply_fn=model.apply,
         params=variables["params"],
@@ -88,6 +90,12 @@ def make_train_step(cfg: Config, model, spec: KeypointSpec, jit=True,
     is_rsg = cfg.MODEL.RSG.ENABLED or cfg.MODEL.NAME == "pose_rsgnet"
 
     def step(state: TrainState, batch, rng):
+        # optional consensual-stop flag (multi-process preemption): a
+        # (local_batch,) 0/1 array per process; the max over the SHARDED
+        # global array is one scalar all-reduce, so every process reads the
+        # identical "any rank wants to stop" value from this step's metrics
+        # (core/function.py::train_one_epoch stop_sync)
+        stop = batch.pop("stop", None)
         aug = augment_batch(rng, batch["image"], batch["joints"],
                             batch["joints_vis"], batch["center"],
                             batch["scale"], cfg, spec, mesh=mesh)
@@ -115,6 +123,8 @@ def make_train_step(cfg: Config, model, spec: KeypointSpec, jit=True,
             grads=grads, batch_stats=new_model_state["batch_stats"])
         _, avg_acc, _, _ = accuracy_jax(out, aug.target)
         metrics = {"loss": loss, "acc": avg_acc}
+        if stop is not None:
+            metrics["stop"] = jnp.max(stop)
         if cfg.DEBUG.DEBUG:
             # expose the augmented batch + predictions so the host loop can
             # dump reference-style debug images (utils/vis.py)

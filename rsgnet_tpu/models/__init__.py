@@ -30,5 +30,20 @@ def get_pose_net(cfg: Config):
     raise KeyError(f"unknown MODEL.NAME: {name}")
 
 
-__all__ = ["get_pose_net", "PoseHighResolutionNet", "PoseResNet",
-           "PoseRSGNet"]
+def init_variables(model, rng, x, train: bool = False):
+    """``model.init`` as ONE jitted program.
+
+    Eager flax init dispatches every layer op individually; on a tunneled
+    TPU backend each tiny dispatch pays a remote-compile round trip
+    (~0.4-0.5 s x hundreds of ops = minutes of startup, measured round 4 —
+    BENCH_NOTES), and the per-op programs sit below the persistent-cache
+    write threshold. One jitted init compiles once and is a cache load on
+    every later run. Same math, same RNG streams (path-keyed fold-ins).
+    """
+    import jax as _jax
+    return _jax.jit(model.init, static_argnames=("train",))(rng, x,
+                                                            train=train)
+
+
+__all__ = ["get_pose_net", "init_variables", "PoseHighResolutionNet",
+           "PoseResNet", "PoseRSGNet"]

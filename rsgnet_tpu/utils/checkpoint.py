@@ -112,6 +112,18 @@ class AsyncCheckpointer:
             pending.result()
 
 
+def peek_checkpoint(path: str) -> dict:
+    """Metadata-only read: {'epoch', 'perf', 'best_perf', 'batch_in_epoch'}
+    without needing a state template (e.g. to inspect where a preemption
+    checkpoint stopped)."""
+    with open(path, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    return {"epoch": int(raw.get("epoch", 0)),
+            "perf": float(raw.get("perf", 0.0)),
+            "best_perf": float(raw.get("best_perf", raw.get("perf", 0.0))),
+            "batch_in_epoch": int(raw.get("batch_in_epoch", 0))}
+
+
 def load_checkpoint(path: str, state) -> Tuple[Any, int, float, int]:
     """Restore ``state`` (template for structure) from ``path``.
 
@@ -164,9 +176,11 @@ def load_weights(cfg, model, model_file: str):
     checkpoint or a reference torch ``.pth`` via the converter. Empty
     ``model_file`` returns the random init (smoke mode)."""
     import jax
+
+    from rsgnet_tpu.models import init_variables
     h, w = cfg.MODEL.IMAGE_SIZE[1], cfg.MODEL.IMAGE_SIZE[0]
-    variables = model.init(jax.random.PRNGKey(0),
-                           np.zeros((1, h, w, 3), np.float32), train=False)
+    variables = init_variables(model, jax.random.PRNGKey(0),
+                               np.zeros((1, h, w, 3), np.float32))
     if not model_file:
         return variables
     if model_file.endswith((".pth", ".pt", ".pth.tar")):

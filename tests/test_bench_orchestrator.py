@@ -19,12 +19,13 @@ BENCH = os.path.join(os.path.dirname(os.path.dirname(
 HEADLINE = "coco_val_topdown_inference_images_per_sec_per_chip"
 
 
-def _run(fault="", timeout_s="4", budget="60"):
+def _run(fault="", timeout_s="4", budget="60", last_good="/dev/null"):
     env = dict(os.environ,
                RSGNET_BENCH_FAKE="1",
                RSGNET_BENCH_FAULT=fault,
                RSGNET_BENCH_SECTION_TIMEOUT=timeout_s,
-               RSGNET_BENCH_BUDGET=budget)
+               RSGNET_BENCH_BUDGET=budget,
+               RSGNET_BENCH_LAST_GOOD=last_good)
     p = subprocess.run([sys.executable, BENCH], capture_output=True,
                        text=True, env=env, timeout=120)
     assert p.returncode == 0, p.stderr
@@ -43,7 +44,10 @@ def test_healthy_run_emits_all_lines_headline_last():
 
 
 def test_hung_aux_section_becomes_skip_line_headline_survives():
-    lines = _run(fault="train")
+    # modest budget: aux sections get the REMAINING budget (not a fixed
+    # cap), so the hung train section is bounded by it — large enough that
+    # train is spawned (>=20s left), small enough the hang stays cheap
+    lines = _run(fault="train", budget="45")
     by_metric = {r["metric"]: r for r in lines}
     tr = by_metric["train_step_images_per_sec_per_chip"]
     assert tr["value"] is None and "timeout" in tr["unit"]
@@ -62,6 +66,23 @@ def test_hung_headline_falls_back_to_e2e_value():
     assert head["value"] == e2e["value"]
     assert "fallback" in head["unit"]
     assert head["vs_baseline"] == e2e["vs_baseline"]
+
+
+def test_total_outage_reports_stale_last_good(tmp_path):
+    """Every section dead (tunnel fully down): the headline re-reports the
+    last DIRECT measurement with an explicit STALE label — parsed stays
+    non-null and nobody mistakes it for a fresh number."""
+    lg = tmp_path / "last_good.json"
+    lg.write_text(json.dumps({
+        "metric": HEADLINE, "value": 2114.77,
+        "unit": "images/sec/chip (256x192, flip-test on, decode included)",
+        "vs_baseline": 2.643, "saved_at": "2026-08-20 13:00:00"}))
+    lines = _run(fault="headline,e2e,full,res50,train", budget="30",
+                 last_good=str(lg))
+    head = lines[-1]
+    assert head["metric"] == HEADLINE
+    assert head["value"] == 2114.77 and head["vs_baseline"] == 2.643
+    assert "STALE" in head["unit"] and "2026-08-20" in head["unit"]
 
 
 def test_spent_budget_skips_loudly_but_headline_still_prints():
