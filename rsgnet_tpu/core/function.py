@@ -48,12 +48,15 @@ class PreemptionGuard:
     uninterrupted one (tests/test_preemption.py).
 
     ``install()`` is main-thread-only (CPython signal rule); elsewhere the
-    guard still works via ``request_stop()``. Multi-process DP note: install
-    assumes the scheduler signals EVERY process (the normal broadcast
-    behavior); rank 0 writes the checkpoint. A process that stops one step
-    before its peers leaves them blocked in the next collective — harmless
-    under eviction (the job is dying), but do not use request_stop for
-    selective single-process shutdown of a live multi-process run.
+    guard still works via ``request_stop()``. Multi-process DP: the stop is
+    CONSENSUAL — each process feeds its local flag into the train step as a
+    batch input, the step all-reduces it (``metrics["stop"]``), and every
+    process breaks on the identical reduced value, so all ranks stop at the
+    same step boundary and rank 0's mid-epoch checkpoint is valid for the
+    whole job (``train_one_epoch(stop_sync=True)``;
+    tests/test_multiprocess_dp.py). Even a signal delivered to only ONE
+    rank (operator kill) stops the job cleanly instead of hanging peers in
+    the next collective.
     """
 
     def __init__(self, signals=(signal.SIGTERM,)):
@@ -87,9 +90,23 @@ class PreemptionGuard:
         return self.stop_requested
 
 
+def _inject_stop_flags(iterator, guard):
+    """Attach each process's LOCAL stop flag to every host batch (key
+    "stop", (local_batch,) float32 0/1). The train step max-reduces the
+    sharded global array, so the stop DECISION all ranks read back is
+    identical even when the flags disagree; per-rank staleness from the
+    prefetch depth only delays the common stop by that many steps."""
+    for i, batch in enumerate(iterator):
+        flag = 1.0 if guard.should_stop(i) else 0.0
+        n = len(batch["image"])
+        batch["stop"] = np.full((n,), flag, np.float32)
+        yield batch
+
+
 def train_one_epoch(step_fn, state, loader, rng, epoch, shard, logger=None,
                     print_freq=100, cfg=None, debug_dir=None,
-                    profile=None, start_step=0, guard=None):
+                    profile=None, start_step=0, guard=None,
+                    stop_sync=False):
     """Returns (state, mean_loss, steps_done, stopped). Device ahead of
     host via prefetch.
 
@@ -106,6 +123,13 @@ def train_one_epoch(step_fn, state, loader, rng, epoch, shard, logger=None,
     ``guard``: optional ``PreemptionGuard`` — checked before each dispatch;
     when it fires the loop drains the in-flight metrics and returns with
     ``stopped=True`` (the caller writes the mid-epoch checkpoint).
+
+    ``stop_sync``: multi-process consensual stop. Instead of breaking on
+    the LOCAL flag (ranks could diverge by a step and deadlock the next
+    collective), each batch carries the local flag ("stop" key, sharded
+    like the batch) and the loop breaks only on the all-reduced
+    ``metrics["stop"]`` read back from a completed step — identical on
+    every rank, so all ranks stop at the same step boundary.
     """
     batch_time = AverageMeter()
     losses = AverageMeter()
@@ -118,11 +142,13 @@ def train_one_epoch(step_fn, state, loader, rng, epoch, shard, logger=None,
     stopped = False
     tracer = (StepTraceWindow(profile[0], profile[1], logger=logger)
               if profile is not None else None)
+    src = iter(loader)
+    if stop_sync and guard is not None:
+        src = _inject_stop_flags(src, guard)
     try:
-        for i, batch in enumerate(device_prefetch(iter(loader),
-                                                  sharding=shard)):
+        for i, batch in enumerate(device_prefetch(src, sharding=shard)):
             step = start_step + i
-            if guard is not None and guard.should_stop(step):
+            if guard is not None and not stop_sync and guard.should_stop(step):
                 stopped = True
                 break
             if tracer is not None:
@@ -141,10 +167,17 @@ def train_one_epoch(step_fn, state, loader, rng, epoch, shard, logger=None,
             steps_done = step + 1
             bs = batch["image"].shape[0]
             n += bs
+            stop_now = False
             if pending is not None:
                 losses.update(float(pending["loss"]), bs)
                 accs.update(float(pending["acc"]), bs)
-            pending = metrics
+                # the all-reduced flag is identical on every rank, so every
+                # rank breaks at this same step boundary
+                stop_now = stop_sync and float(pending.get("stop", 0.0)) > 0
+            pending = metrics              # the tail drain settles step s
+            if stop_now:
+                stopped = True
+                break
             batch_time.update(time.perf_counter() - end)
             end = time.perf_counter()
             if (cfg is not None and cfg.DEBUG.DEBUG and debug_dir
@@ -261,12 +294,25 @@ def fit(cfg: Config, model, train_dataset, val_dataset=None,
             logger.info("loaded %d pretrained backbone tensors from %s",
                         n, cfg.MODEL.PRETRAINED)
 
+    guard = preempt_guard
+    owns_guard = False
+    if (guard is None and cfg.TRAIN.PREEMPT_CHECKPOINT
+            and threading.current_thread() is threading.main_thread()):
+        guard = PreemptionGuard().install()
+        owns_guard = True
+    # consensual preemption stop is the multi-process protocol: the batch
+    # carries each rank's local flag and the loop breaks on the all-reduced
+    # metrics["stop"] — all ranks stop at the same step (PreemptionGuard)
+    stop_sync = nproc > 1 and guard is not None
+
     repl = NamedSharding(mesh, P())
     shard = NamedSharding(mesh, P(cfg.MESH_DATA_AXIS))
     state = jax.device_put(state, repl)
     step_fn = make_train_step(cfg, model, spec, jit=False, mesh=mesh)
     batch_shardings = {"image": shard, "joints": shard, "joints_vis": shard,
                        "center": shard, "scale": shard}
+    if stop_sync:
+        batch_shardings["stop"] = shard
     step_fn = jax.jit(step_fn,
                       in_shardings=(repl, batch_shardings, repl),
                       donate_argnums=(0,))
@@ -326,12 +372,6 @@ def fit(cfg: Config, model, train_dataset, val_dataset=None,
     # boundary and auto-resumed is bitwise-identical to an uninterrupted
     # run (tests/test_resume_equivalence.py, tests/test_preemption.py).
     base_rng = jax.random.PRNGKey(0)
-    guard = preempt_guard
-    owns_guard = False
-    if (guard is None and cfg.TRAIN.PREEMPT_CHECKPOINT and nproc == 1
-            and threading.current_thread() is threading.main_thread()):
-        guard = PreemptionGuard().install()
-        owns_guard = True
     stopped = False
     try:
         for epoch in range(begin_epoch, end_epoch):
@@ -358,7 +398,8 @@ def fit(cfg: Config, model, train_dataset, val_dataset=None,
                 # debug tensors are batch-sharded across processes —
                 # fetchable only single-process
                 debug_dir=output_dir if nproc == 1 else None,
-                profile=prof, start_step=start_step, guard=guard)
+                profile=prof, start_step=start_step, guard=guard,
+                stop_sync=stop_sync)
             if stopped:
                 if steps_done > 0:
                     # batch_in_epoch > 0 is what makes auto_resume re-enter

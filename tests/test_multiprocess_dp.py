@@ -109,6 +109,27 @@ def test_two_process_dp_matches_single_process():
     np.testing.assert_allclose(seen[0], ref, rtol=2e-5, atol=2e-5)
 
 
+def test_two_process_consensual_preemption(tmp_path):
+    """VERDICT round-3 item 5: a SIGTERM-equivalent on ONE rank must stop
+    BOTH ranks at the same step (the stop flag is all-reduced inside the
+    train step) instead of hanging the peer in the next collective, and the
+    mid-epoch checkpoint must resume bitwise. The worker runs the whole
+    protocol (uninterrupted reference fit -> rank-0-only-guard fit ->
+    auto-resume fit) and asserts the checkpointed batch index and bitwise
+    equality in-process; the parent asserts both ranks got there and agree."""
+    from tests.fixtures.synthetic_coco import make_dataset, write_fixture
+
+    root = tmp_path / "coco_pre"
+    write_fixture(str(root), make_dataset())
+    worker = os.path.join(REPO, "tests", "worker_fit_preempt.py")
+    seen = _run_workers(worker, [str(root), str(tmp_path / "runs")],
+                        "PREEMPT")
+    # (uninterrupted, resumed) checksums: equal per rank (asserted bitwise
+    # in-worker) and identical across ranks (one SPMD program)
+    np.testing.assert_allclose(seen[0], seen[1], rtol=0, atol=0)
+    np.testing.assert_allclose(seen[0][0], seen[0][1], rtol=0, atol=0)
+
+
 def test_two_process_fit_matches_single_process(tmp_path):
     """The WHOLE user path (fit: process-sharded loader -> global-mesh train
     step -> per-host validate_distributed -> rank-0 checkpointing) under 2
