@@ -78,7 +78,12 @@ import time
 A100_REF_IMAGES_PER_SEC = 800.0   # estimated reference A100 eval throughput
 A100_REF_TRAIN_IMAGES_PER_SEC = 400.0   # estimated A100 train throughput
 BATCH = 128
-DISTINCT = 8
+# >=2 distinct pre-staged batches defeat any result-caching illusion while
+# keeping the tunnel H2D pre-staging (OUTSIDE the timed region) bounded —
+# at 4 fp32 batches the headline section stages ~300 MB; the round-4 cut
+# from 8/4-batch staging bought minutes of section budget with identical
+# measured rates (the clock only covers the dispatch loop).
+DISTINCT = 4
 ITERS = 30
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
@@ -203,16 +208,16 @@ def bench_e2e(cfg=None, model=None, variables=None,
     src, iters = 640, 12
     rng = np.random.RandomState(1)
     imgs = [jnp.asarray(rng.randint(0, 255, (b, src, src, 3), np.uint8))
-            for _ in range(4)]
+            for _ in range(2)]
     centers = jnp.asarray(rng.uniform(200, 440, (b, 2)).astype(np.float32))
     scales = jnp.asarray(np.stack([rng.uniform(0.8, 1.5, b) * 0.75,
                                    rng.uniform(0.8, 1.5, b)],
                                   -1).astype(np.float32))
     e2e = make_e2e_fn(cfg, model, (src, src))
-    outs = [e2e(variables, imgs[i % 4], centers, scales) for i in range(2)]
+    outs = [e2e(variables, imgs[i % 2], centers, scales) for i in range(2)]
     jax.tree_util.tree_map(np.asarray, outs)
     t0 = time.perf_counter()
-    outs = [e2e(variables, imgs[i % 4], centers, scales)
+    outs = [e2e(variables, imgs[i % 2], centers, scales)
             for i in range(iters)]
     sink = jax.tree_util.tree_map(np.asarray, outs)
     dt = time.perf_counter() - t0
@@ -271,7 +276,7 @@ def bench_e2e_full():
     sigmas = jnp.asarray(spec.sigmas, jnp.float32)
     rng = np.random.RandomState(5)
     imgs = [jnp.asarray(rng.randint(0, 255, (b, src, src, 3), np.uint8))
-            for _ in range(4)]
+            for _ in range(2)]
     centers = jnp.asarray(rng.uniform(200, 440, (b, 2)).astype(np.float32))
     scales = jnp.asarray(np.stack([rng.uniform(0.8, 1.5, b) * 0.75,
                                    rng.uniform(0.8, 1.5, b)],
@@ -303,11 +308,11 @@ def bench_e2e_full():
         return preds, aux
 
     full = jax.jit(full)
-    outs = [full(variables, imgs[i % 4], centers, scales, box_scores)
+    outs = [full(variables, imgs[i % 2], centers, scales, box_scores)
             for i in range(2)]
     jax.tree_util.tree_map(np.asarray, outs)
     t0 = time.perf_counter()
-    outs = [full(variables, imgs[i % 4], centers, scales, box_scores)
+    outs = [full(variables, imgs[i % 2], centers, scales, box_scores)
             for i in range(iters)]
     sink = jax.tree_util.tree_map(np.asarray, outs)
     dt = time.perf_counter() - t0
@@ -351,7 +356,7 @@ def bench_train():
     b, src, iters = 128, 640, 10
     rng = np.random.RandomState(2)
     imgs = [jnp.asarray(rng.randint(0, 255, (b, src, src, 3), np.uint8))
-            for _ in range(3)]
+            for _ in range(2)]
     joints = jnp.asarray(rng.uniform(150, 450, (b, 17, 2)).astype(np.float32))
     vis = jnp.asarray((rng.uniform(size=(b, 17)) > 0.2).astype(np.float32))
     centers = jnp.asarray(rng.uniform(200, 440, (b, 2)).astype(np.float32))
@@ -450,24 +455,52 @@ _LAST_GOOD = (os.environ.get("RSGNET_BENCH_LAST_GOOD")
 
 
 def _save_last_good(rec):
-    """Persist the freshest DIRECT headline measurement (total-outage
-    fallback; only ever reported with an explicit stale label)."""
+    """Persist the freshest DIRECT measurement per metric. Skipped sections
+    re-report these with an explicit STALE label: even on a session whose
+    budget/tunnel cannot fit all five measurements, every line stays
+    informative and honestly dated (a cached train section alone costs
+    ~220s of tunnel time — five fresh sections do not fit 520s)."""
     if os.environ.get("RSGNET_BENCH_FAKE"):
         return                       # never poison the file with test lines
+    store = _load_store()
+    store[rec["metric"]] = {**rec,
+                            "saved_at": time.strftime("%Y-%m-%d %H:%M:%S")}
     try:
         with open(_LAST_GOOD, "w") as f:
-            json.dump({**rec, "saved_at": time.strftime("%Y-%m-%d %H:%M:%S")},
-                      f)
+            json.dump(store, f)
     except OSError:
         pass
 
 
-def _load_last_good():
+def _load_store():
     try:
         with open(_LAST_GOOD) as f:
-            return json.load(f)
+            data = json.load(f)
     except (OSError, json.JSONDecodeError):
-        return None
+        return {}
+    if "metric" in data:             # original single-record schema
+        return {data["metric"]: data}
+    return data if isinstance(data, dict) else {}
+
+
+def _load_last_good(metric):
+    rec = _load_store().get(metric)
+    return rec if rec and rec.get("value") is not None else None
+
+
+def _stale_line(metric, why):
+    """Skipped section with history: re-report the last direct measurement,
+    explicitly dated, instead of a null. Returns True if a line printed."""
+    prev = _load_last_good(metric)
+    if prev is None:
+        return False
+    print(json.dumps({
+        "metric": metric, "value": prev["value"],
+        "unit": (f"{prev.get('unit', 'images/sec/chip')} [STALE: measured "
+                 f"{prev.get('saved_at', '?')}; this run: {why}]"),
+        "vs_baseline": prev.get("vs_baseline"),
+    }), flush=True)
+    return True
 
 
 def main():
@@ -493,15 +526,17 @@ def main():
         metric = _SECTION_METRICS[name]
         budget = remaining() - 15        # always reserve the tail for print
         if budget < 20:
-            _skip_line(metric, f"global budget spent "
-                               f"({GLOBAL_BUDGET:.0f}s)")
+            why = f"global budget spent ({GLOBAL_BUDGET:.0f}s)"
+            if not _stale_line(metric, why):
+                _skip_line(metric, why)
             continue
         rec, err = _spawn_section(name, budget)
         if rec is not None:
             print(json.dumps(rec), flush=True)
+            _save_last_good(rec)
             if name == "e2e":
                 e2e_rec = rec
-        else:
+        elif not _stale_line(metric, err):
             _skip_line(metric, err)
 
     # 3) Headline retry / fallback, then print it LAST.
@@ -525,8 +560,8 @@ def main():
     if headline is None:
         # total outage (every section dead — e.g. tunnel down): report the
         # last DIRECT measurement this machine recorded, explicitly stale
-        prev = _load_last_good()
-        if prev is not None and prev.get("value") is not None:
+        prev = _load_last_good(_HEADLINE_METRIC)
+        if prev is not None:
             headline = {
                 "metric": _HEADLINE_METRIC,
                 "value": prev["value"],

@@ -85,6 +85,24 @@ def test_total_outage_reports_stale_last_good(tmp_path):
     assert "STALE" in head["unit"] and "2026-08-20" in head["unit"]
 
 
+def test_skipped_aux_section_reports_stale_history(tmp_path):
+    """A section that cannot run this session (budget/hang) re-reports its
+    last direct measurement with a dated STALE label instead of a null."""
+    lg = tmp_path / "last_good.json"
+    lg.write_text(json.dumps({
+        "train_step_images_per_sec_per_chip": {
+            "metric": "train_step_images_per_sec_per_chip",
+            "value": 995.48, "unit": "images/sec/chip (B=128 ...)",
+            "vs_baseline": 2.489, "saved_at": "2026-08-20 14:30:00"}}))
+    lines = _run(fault="train", budget="45", last_good=str(lg))
+    by_metric = {r["metric"]: r for r in lines}
+    tr = by_metric["train_step_images_per_sec_per_chip"]
+    assert tr["value"] == 995.48 and tr["vs_baseline"] == 2.489
+    assert "STALE" in tr["unit"] and "2026-08-20 14:30" in tr["unit"]
+    assert lines[-1]["metric"] == HEADLINE  # headline still last + fresh
+    assert lines[-1]["value"] is not None
+
+
 def test_spent_budget_skips_loudly_but_headline_still_prints():
     # Budget so small that every aux section is skipped for budget; the
     # headline (banked first) must still print with a value.
