@@ -81,14 +81,14 @@ def main():
     import jax
     from rsgnet_tpu.config.defaults import rsgnet_w32_256x192, tiny_rsgnet
     from rsgnet_tpu.core.inference import make_inference_fn
-    from rsgnet_tpu.models import get_pose_net
+    from rsgnet_tpu.models import get_pose_net, init_variables
     from rsgnet_tpu.serving import DynamicBatcher, ServingEngine
 
     cfg = tiny_rsgnet() if args.tiny else rsgnet_w32_256x192()
     model = get_pose_net(cfg)
     h, w = cfg.MODEL.IMAGE_SIZE[1], cfg.MODEL.IMAGE_SIZE[0]
-    variables = model.init(jax.random.PRNGKey(0),
-                           np.zeros((1, h, w, 3), np.float32), train=False)
+    variables = init_variables(model, jax.random.PRNGKey(0),
+                           np.zeros((1, h, w, 3), np.float32))
     infer = make_inference_fn(cfg, model, normalize_input=True)
 
     def serve_fn(images, centers, scales):

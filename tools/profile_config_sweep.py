@@ -80,11 +80,11 @@ def train_throughput(cfg, model, b, src=640, iters=8):
 
 
 def sweep(name, cfg, gflops, a100_eval, a100_train, batches):
-    from rsgnet_tpu.models import get_pose_net
+    from rsgnet_tpu.models import get_pose_net, init_variables
     model = get_pose_net(cfg)
     h, w = cfg.MODEL.IMAGE_SIZE[1], cfg.MODEL.IMAGE_SIZE[0]
-    variables = model.init(jax.random.PRNGKey(0),
-                           np.zeros((1, h, w, 3), np.float32), train=False)
+    variables = init_variables(model, jax.random.PRNGKey(0),
+                           np.zeros((1, h, w, 3), np.float32))
     print(f"\n=== {name} ({h}x{w} HxW, {gflops} GFLOPs/fwd) ===")
     print(f"targets (2x A100 est.): eval {2 * a100_eval:.0f} img/s, "
           f"train {2 * a100_train:.0f} img/s")

@@ -55,14 +55,14 @@ def main():
     args = ap.parse_args()
 
     from rsgnet_tpu.config.defaults import rsgnet_w32_256x192
-    from rsgnet_tpu.models import get_pose_net
+    from rsgnet_tpu.models import get_pose_net, init_variables
 
     print(f"backend: {jax.default_backend()}  devices: {jax.devices()}")
     base = rsgnet_w32_256x192()
     h, w = base.MODEL.IMAGE_SIZE[1], base.MODEL.IMAGE_SIZE[0]
     model = get_pose_net(base)
-    variables = model.init(jax.random.PRNGKey(0),
-                           np.zeros((1, h, w, 3), np.float32), train=False)
+    variables = init_variables(model, jax.random.PRNGKey(0),
+                           np.zeros((1, h, w, 3), np.float32))
 
     for r in range(args.rounds):
         for warp in args.warps:

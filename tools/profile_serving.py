@@ -137,7 +137,7 @@ def main():
     from rsgnet_tpu.config.defaults import (res50_256x192, rsgnet_w32_256x192,
                                             tiny_rsgnet)
     from rsgnet_tpu.core.inference import make_inference_fn
-    from rsgnet_tpu.models import get_pose_net
+    from rsgnet_tpu.models import get_pose_net, init_variables
 
     cfg = {"w32": rsgnet_w32_256x192, "res50": res50_256x192,
            "tiny": tiny_rsgnet}[args.config]()
@@ -148,8 +148,8 @@ def main():
 
     model = get_pose_net(cfg)
     h, w = cfg.MODEL.IMAGE_SIZE[1], cfg.MODEL.IMAGE_SIZE[0]
-    variables = model.init(jax.random.PRNGKey(0),
-                           np.zeros((1, h, w, 3), np.float32), train=False)
+    variables = init_variables(model, jax.random.PRNGKey(0),
+                           np.zeros((1, h, w, 3), np.float32))
 
     infer = make_inference_fn(cfg, model)
     profile_path(f"{args.config} serving (crops -> coords, flip-test "
