@@ -11,12 +11,16 @@ compared on a CLEAN un-augmented eval set.
 
 The assertion is ONE-SIDED non-inferiority: the default must not LOSE
 accuracy versus the cv2-exact gather warp. (A two-sided "equal within
-noise" bound is not measurable at tiny scale — single-seed runs differ by
-~0.1 PCK — and the decision the test guards is only "is shear safe as the
-default".) Calibration on this machine, seed 0, 240 steps, rot 45 / scale
-0.25 / flip aug: PCK@8px shear 0.394 vs gather 0.285 — shear AHEAD, i.e.
-the sheared-lattice filtering costs nothing on learning outcome here
-(recorded in BENCH_NOTES.md round-3).
+noise" bound is not measurable at tiny scale, and the decision the test
+guards is only "is shear safe as the default".)
+
+Calibration is now MULTI-SEED (VERDICT round-3 item 2; round-4 run of
+tools/profile_shear_ab_seeds.py, 3 paired seeds, 240 steps, rot 45 /
+scale 0.25 / flip aug, PCK@8px): shear-gather deltas +0.109 / -0.017 /
++0.044 -> mean +0.045, stdev 0.063. Shear is AHEAD on average; the
+worst observed seed is -0.017. The 0.08 tolerance below is the measured
+mean - 2*stdev (= -0.081), i.e. derived from seed noise, not from the
+single seed-0 anecdote (BENCH_NOTES.md round-4).
 """
 import os
 
@@ -92,7 +96,8 @@ def test_shear_default_not_inferior_to_gather():
     pck_s = _pck(m_s, s_s, te_imgs, te_tj)
     pck_g = _pck(m_g, s_g, te_imgs, te_tj)
     stats = {"shear": pck_s, "gather": pck_g}
-    # both warps learn under rotation aug (calibrated 0.394 / 0.285 @8px)
+    # both warps learn under rotation aug (3-seed range 0.285-0.415 @8px)
     assert pck_s > 0.20 and pck_g > 0.15, stats
-    # the default must not lose accuracy vs the cv2-exact warp
+    # the default must not lose accuracy vs the cv2-exact warp; 0.08 =
+    # measured mean - 2*stdev of the 3-seed paired deltas (module docstring)
     assert pck_s > pck_g - 0.08, stats

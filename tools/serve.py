@@ -48,6 +48,12 @@ def parse_args():
                    help="max queueing delay a request pays to fill a batch")
     p.add_argument("--in-flight", type=int, default=2,
                    help="device batches kept in flight")
+    p.add_argument("--compile-cache", default=".jax_serve_cache",
+                   metavar="DIR",
+                   help="persistent XLA compile-cache dir: server RESTARTS "
+                        "load every bucket executable instead of recompiling "
+                        "(warm /healthz in seconds, not minutes); '' "
+                        "disables")
     p.add_argument("opts", nargs=argparse.REMAINDER,
                    help="KEY VALUE config override pairs (with --cfg)")
     return p.parse_args()
@@ -86,6 +92,14 @@ def main():
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(name)s: %(message)s")
     log = logging.getLogger("rsgnet_tpu.serving")
+    if args.compile_cache:
+        # restart path: every bucket executable loads from the cache
+        # instead of recompiling (a cold 9-bucket warmup is minutes on a
+        # tunneled chip; BENCH_NOTES round 4)
+        import jax
+        jax.config.update("jax_compilation_cache_dir", args.compile_cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     from rsgnet_tpu.serving import DynamicBatcher, ServingEngine
     from rsgnet_tpu.serving.http_server import make_server
     serve_fn, image_shape, dtype = build_serve_fn(args)
