@@ -91,6 +91,8 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 # Orchestration knobs (env-overridable so tests can shrink them).
 SECTION_TIMEOUT = float(os.environ.get("RSGNET_BENCH_SECTION_TIMEOUT", 240))
 GLOBAL_BUDGET = float(os.environ.get("RSGNET_BENCH_BUDGET", 520))
+# minimum leftover budget worth spawning an aux section for
+MIN_SPAWN = float(os.environ.get("RSGNET_BENCH_MIN_SPAWN", 20))
 
 _HEADLINE_METRIC = "coco_val_topdown_inference_images_per_sec_per_chip"
 _SECTION_METRICS = {
@@ -525,7 +527,7 @@ def main():
     for name in _SECTION_ORDER[1:]:
         metric = _SECTION_METRICS[name]
         budget = remaining() - 15        # always reserve the tail for print
-        if budget < 20:
+        if budget < MIN_SPAWN:
             why = f"global budget spent ({GLOBAL_BUDGET:.0f}s)"
             if not _stale_line(metric, why):
                 _skip_line(metric, why)

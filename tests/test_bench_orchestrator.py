@@ -25,7 +25,8 @@ def _run(fault="", timeout_s="4", budget="60", last_good="/dev/null"):
                RSGNET_BENCH_FAULT=fault,
                RSGNET_BENCH_SECTION_TIMEOUT=timeout_s,
                RSGNET_BENCH_BUDGET=budget,
-               RSGNET_BENCH_LAST_GOOD=last_good)
+               RSGNET_BENCH_MIN_SPAWN="4",   # hung children cost seconds,
+               RSGNET_BENCH_LAST_GOOD=last_good)   # not the full budget
     p = subprocess.run([sys.executable, BENCH], capture_output=True,
                        text=True, env=env, timeout=120)
     assert p.returncode == 0, p.stderr
@@ -47,7 +48,7 @@ def test_hung_aux_section_becomes_skip_line_headline_survives():
     # modest budget: aux sections get the REMAINING budget (not a fixed
     # cap), so the hung train section is bounded by it — large enough that
     # train is spawned (>=20s left), small enough the hang stays cheap
-    lines = _run(fault="train", budget="45")
+    lines = _run(fault="train", budget="32")
     by_metric = {r["metric"]: r for r in lines}
     tr = by_metric["train_step_images_per_sec_per_chip"]
     assert tr["value"] is None and "timeout" in tr["unit"]
@@ -94,7 +95,7 @@ def test_skipped_aux_section_reports_stale_history(tmp_path):
             "metric": "train_step_images_per_sec_per_chip",
             "value": 995.48, "unit": "images/sec/chip (B=128 ...)",
             "vs_baseline": 2.489, "saved_at": "2026-08-20 14:30:00"}}))
-    lines = _run(fault="train", budget="45", last_good=str(lg))
+    lines = _run(fault="train", budget="32", last_good=str(lg))
     by_metric = {r["metric"]: r for r in lines}
     tr = by_metric["train_step_images_per_sec_per_chip"]
     assert tr["value"] == 995.48 and tr["vs_baseline"] == 2.489

@@ -109,6 +109,11 @@ def test_two_process_dp_matches_single_process():
     np.testing.assert_allclose(seen[0], ref, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.skipif(
+    not os.environ.get("RSGNET_SLOW_TESTS"),
+    reason="~9 min on this 1-core box (three 2-process fits). Ran and "
+           "passed round 4 (BENCH_NOTES/ROADMAP); slow tier keeps it "
+           "(RSGNET_SLOW_TESTS=1) per the default-suite budget")
 def test_two_process_consensual_preemption(tmp_path):
     """VERDICT round-3 item 5: a SIGTERM-equivalent on ONE rank must stop
     BOTH ranks at the same step (the stop flag is all-reduced inside the
@@ -130,6 +135,11 @@ def test_two_process_consensual_preemption(tmp_path):
     np.testing.assert_allclose(seen[0][0], seen[0][1], rtol=0, atol=0)
 
 
+@pytest.mark.skipif(
+    not os.environ.get("RSGNET_SLOW_TESTS"),
+    reason="~3 min of real 2-process Gloo on this 1-core box; default-tier "
+           "DP coverage stays via test_dp_hlo + the in-process 8-device "
+           "numeric tests (RSGNET_SLOW_TESTS=1 runs this)")
 def test_two_process_fit_matches_single_process(tmp_path):
     """The WHOLE user path (fit: process-sharded loader -> global-mesh train
     step -> per-host validate_distributed -> rank-0 checkpointing) under 2

@@ -102,6 +102,11 @@ def test_mid_epoch_resume_bitwise(fixture_root, tmp_path):
     assert raw["epoch"] == 1 and raw["batch_in_epoch"] == 0
 
 
+@pytest.mark.skipif(
+    not os.environ.get("RSGNET_SLOW_TESTS"),
+    reason="the longest preemption scenario (~50s, two sequential stops); "
+           "mid-epoch bitwise resume, SIGTERM save, and the epoch-start "
+           "edge stay in the default tier (RSGNET_SLOW_TESTS=1 runs this)")
 def test_preempt_across_epoch_boundaries(fixture_root, tmp_path):
     """Two successive preemptions (one mid-epoch-0, one mid-epoch-1) still
     land bitwise on the control — the chain of mid-epoch checkpoints

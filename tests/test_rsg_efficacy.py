@@ -30,7 +30,10 @@ training of 140 steps (the cross-model control trains a second model and is
 slow-suite only). The long full-stack overfit lives behind
 RSGNET_SLOW_TESTS in test_overfit_e2e.py.
 """
+import os
+
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -133,6 +136,11 @@ def _train(name, seed=0, steps=140, batch=12):
     return cfg, model, state
 
 
+@pytest.mark.skipif(
+    not os.environ.get("RSGNET_SLOW_TESTS"),
+    reason="~2 min paired training on this 1-core box; the uplift is a "
+           "recorded measured result and the head stays default-covered by "
+           "its torch train oracle (RSGNET_SLOW_TESTS=1 reruns this)")
 def test_rsg_head_uplift_on_crowded_scenes():
     import os
 
