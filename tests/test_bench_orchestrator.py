@@ -78,7 +78,9 @@ def test_total_outage_reports_stale_last_good(tmp_path):
         "metric": HEADLINE, "value": 2114.77,
         "unit": "images/sec/chip (256x192, flip-test on, decode included)",
         "vs_baseline": 2.643, "saved_at": "2026-08-20 13:00:00"}))
-    lines = _run(fault="headline,e2e,full,res50,train", budget="30",
+    # tiny budget: the faulted headline burns its 4s cap, every aux section
+    # is budget-skipped instantly, no retry fits — straight to the stale path
+    lines = _run(fault="headline,e2e,full,res50,train", budget="14",
                  last_good=str(lg))
     head = lines[-1]
     assert head["metric"] == HEADLINE

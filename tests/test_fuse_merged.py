@@ -25,14 +25,17 @@ from rsgnet_tpu.models import get_pose_net
 from rsgnet_tpu.models.hrnet import _block_diag_kernel
 
 
-def _tiny_cfg():
+def _tiny_cfg(train=False):
     cfg = defaults.Config()
     cfg.DTYPE = "float32"
     cfg.MODEL.IMAGE_SIZE = (64, 96)
     cfg.MODEL.HEATMAP_SIZE = (16, 24)
+    # eval covers the multi-module stage3 naming; the (costly) train-mode
+    # grad/BN-stat test only needs one module of each branch count
+    s3_modules = 1 if train else 2
     cfg.MODEL.EXTRA = defaults.ModelExtra(
         STAGE2=defaults.StageConfig(1, 2, (1, 1), (8, 16)),
-        STAGE3=defaults.StageConfig(2, 3, (1, 1, 1), (8, 16, 32)),
+        STAGE3=defaults.StageConfig(s3_modules, 3, (1, 1, 1), (8, 16, 32)),
         STAGE4=defaults.StageConfig(1, 4, (1, 1, 1, 1), (8, 16, 32, 64)),
     )
     return cfg
@@ -90,13 +93,13 @@ def test_param_tree_identity_and_eval_forward(flagship):
 
 
 def test_train_mode_outputs_stats_and_grads_match():
-    cfg = _tiny_cfg()
+    cfg = _tiny_cfg(train=True)
     model, model_m = _pair(cfg)
     h, w = cfg.MODEL.IMAGE_SIZE[1], cfg.MODEL.IMAGE_SIZE[0]
     rng = np.random.RandomState(1)
-    x = jnp.asarray(rng.uniform(-2, 2, (4, h, w, 3)).astype(np.float32))
+    x = jnp.asarray(rng.uniform(-2, 2, (2, h, w, 3)).astype(np.float32))
     variables = model.init(jax.random.PRNGKey(0), x, train=False)
-    tgt = jnp.asarray(rng.uniform(0, 1, (4, cfg.MODEL.HEATMAP_SIZE[1],
+    tgt = jnp.asarray(rng.uniform(0, 1, (2, cfg.MODEL.HEATMAP_SIZE[1],
                                          cfg.MODEL.HEATMAP_SIZE[0],
                                          cfg.MODEL.NUM_JOINTS))
                       .astype(np.float32))

@@ -105,8 +105,8 @@ def test_mid_epoch_resume_bitwise(fixture_root, tmp_path):
 @pytest.mark.skipif(
     not os.environ.get("RSGNET_SLOW_TESTS"),
     reason="the longest preemption scenario (~50s, two sequential stops); "
-           "mid-epoch bitwise resume, SIGTERM save, and the epoch-start "
-           "edge stay in the default tier (RSGNET_SLOW_TESTS=1 runs this)")
+           "mid-epoch bitwise resume and SIGTERM save stay in the default "
+           "tier (RSGNET_SLOW_TESTS=1 runs this)")
 def test_preempt_across_epoch_boundaries(fixture_root, tmp_path):
     """Two successive preemptions (one mid-epoch-0, one mid-epoch-1) still
     land bitwise on the control — the chain of mid-epoch checkpoints
@@ -138,6 +138,12 @@ def test_preempt_across_epoch_boundaries(fixture_root, tmp_path):
     _leaves_equal(control.opt_state, resumed.opt_state, "opt_state")
 
 
+@pytest.mark.skipif(
+    not os.environ.get("RSGNET_SLOW_TESTS"),
+    reason="epoch-start-edge regression (~37s): the guarded bug (a batch-0 "
+           "mid-epoch save skipping a whole epoch on resume) is also pinned "
+           "by the cheaper mid-epoch bitwise test; slow tier reruns this "
+           "full scenario (RSGNET_SLOW_TESTS=1)")
 def test_preempt_at_epoch_start_skips_no_epoch(fixture_root, tmp_path):
     """A preemption that fires BEFORE the first step of an epoch must not
     lose that epoch. StopAfter(steps_per_epoch) completes epoch 0 and then
