@@ -110,17 +110,13 @@ _SECTION_ORDER = ("headline", "e2e", "full", "res50", "train")
 
 
 def _wire_compile_cache():
-    """Persistent XLA compile cache for child processes — same mechanism as
-    tests/conftest.py:34-39. On a degraded tunnel, repeat runs (and the
-    driver's end-of-round run after this session's runs) load AOT results
-    instead of re-paying remote compiles."""
-    if os.environ.get("RSGNET_NO_COMPILE_CACHE"):
-        return
-    import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(_HERE, ".jax_compile_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    """Persistent XLA compile cache for child processes (one shared
+    implementation: rsgnet_tpu/utils/compile_cache.py). On a degraded
+    tunnel, repeat runs (and the driver's end-of-round run after this
+    session's runs) load AOT results instead of re-paying remote
+    compiles."""
+    from rsgnet_tpu.utils.compile_cache import wire
+    wire(os.path.join(_HERE, ".jax_compile_cache"))
 
 
 # ---------------------------------------------------------------------------
@@ -564,12 +560,14 @@ def main():
         # last DIRECT measurement this machine recorded, explicitly stale
         prev = _load_last_good(_HEADLINE_METRIC)
         if prev is not None:
+            # keep prev's ORIGINAL unit: a persisted fast-retry measurement
+            # (B=64) must not lose its reduced-protocol flag here
             headline = {
                 "metric": _HEADLINE_METRIC,
                 "value": prev["value"],
-                "unit": (f"images/sec/chip [STALE: re-reported from the "
-                         f"last healthy run ({prev.get('saved_at', '?')}); "
-                         f"this run's sections all failed: {headline_err}]"),
+                "unit": (f"{prev.get('unit', 'images/sec/chip')} [STALE: "
+                         f"measured {prev.get('saved_at', '?')}; this run's "
+                         f"sections all failed: {headline_err}]"),
                 "vs_baseline": prev.get("vs_baseline"),
             }
     if headline is None:

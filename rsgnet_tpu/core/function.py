@@ -20,6 +20,7 @@ import threading
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -90,14 +91,17 @@ class PreemptionGuard:
         return self.stop_requested
 
 
-def _inject_stop_flags(iterator, guard):
+def _inject_stop_flags(iterator, guard, start_step=0):
     """Attach each process's LOCAL stop flag to every host batch (key
     "stop", (local_batch,) float32 0/1). The train step max-reduces the
     sharded global array, so the stop DECISION all ranks read back is
     identical even when the flags disagree; per-rank staleness from the
-    prefetch depth only delays the common stop by that many steps."""
+    prefetch depth only delays the common stop by that many steps.
+    ``start_step`` keeps step-keyed guards (the documented subclass API)
+    on ABSOLUTE step indices after a mid-epoch resume, matching the
+    non-sync path's ``should_stop(start_step + i)``."""
     for i, batch in enumerate(iterator):
-        flag = 1.0 if guard.should_stop(i) else 0.0
+        flag = 1.0 if guard.should_stop(start_step + i) else 0.0
         n = len(batch["image"])
         batch["stop"] = np.full((n,), flag, np.float32)
         yield batch
@@ -144,7 +148,7 @@ def train_one_epoch(step_fn, state, loader, rng, epoch, shard, logger=None,
               if profile is not None else None)
     src = iter(loader)
     if stop_sync and guard is not None:
-        src = _inject_stop_flags(src, guard)
+        src = _inject_stop_flags(src, guard, start_step)
     try:
         for i, batch in enumerate(device_prefetch(src, sharding=shard)):
             step = start_step + i
@@ -305,6 +309,24 @@ def fit(cfg: Config, model, train_dataset, val_dataset=None,
     # metrics["stop"] — all ranks stop at the same step (PreemptionGuard)
     stop_sync = nproc > 1 and guard is not None
 
+    def _boundary_stop():
+        """Epoch-boundary stop decision. Single-process: the local flag.
+        Multi-process: the flag must be CONSENSUAL here too — a signal that
+        lands during validate/checkpointing (or inside the last
+        prefetch-depth batches, after the in-epoch flags were attached)
+        reaches only some ranks, and a local break would strand the peers
+        in the next epoch's first collective. One tiny max-reduce over the
+        mesh makes the boundary decision identical on every rank."""
+        if guard is None:
+            return False
+        if not stop_sync:
+            return guard.stop_requested
+        local = np.full((len(jax.local_devices()),),
+                        1.0 if guard.stop_requested else 0.0, np.float32)
+        flag = jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P(cfg.MESH_DATA_AXIS)), local)
+        return float(jax.jit(jnp.max)(flag)) > 0
+
     repl = NamedSharding(mesh, P())
     shard = NamedSharding(mesh, P(cfg.MESH_DATA_AXIS))
     state = jax.device_put(state, repl)
@@ -456,10 +478,12 @@ def fit(cfg: Config, model, train_dataset, val_dataset=None,
             if logger:
                 logger.info("epoch %d: loss %.5f perf %.4f best %.4f",
                             epoch, loss, perf, best_perf)
-            if guard is not None and guard.stop_requested:
-                # the signal landed during validate/checkpointing: the
+            if _boundary_stop():
+                # the signal landed during validate/checkpointing (or too
+                # late in the epoch for an in-batch flag): the
                 # epoch-boundary checkpoint above is already written —
-                # stop cleanly before the next epoch
+                # every rank reads the same reduced flag and stops cleanly
+                # before the next epoch
                 if logger:
                     logger.info("preemption stop at epoch %d boundary",
                                 epoch)

@@ -52,6 +52,17 @@ def make_server(batcher: DynamicBatcher, host: str = "127.0.0.1",
     Start with ``server.serve_forever()`` (blocking) or on a thread; stop
     with ``server.shutdown()`` then ``batcher.close()``.
     """
+    if (batcher.engine.image_shape is not None
+            and batcher.engine.image_dtype is None):
+        # a static server-construction property: warn ONCE here, not per
+        # request — raw 0-255 crops would silently feed a serve_fn that may
+        # expect normalized floats (ADVICE round 3)
+        import logging
+        logging.getLogger("rsgnet_tpu.serving").warning(
+            "engine.image_dtype is unset; /v1/predict_image will send RAW "
+            "uint8 crops to the model — set image_dtype on the engine "
+            "(tools/serve.py does) if the serve_fn expects normalized "
+            "floats")
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -112,22 +123,10 @@ def make_server(batcher: DynamicBatcher, host: str = "127.0.0.1",
 
         def _predict_image(self):
             engine = batcher.engine
-            # server-side misconfiguration, not a client fault: without
-            # image_shape this route cannot size the crops (ADVICE round 3)
-            if engine.image_shape is None:
-                self._reply_json(500, {
-                    "error": "server engine has no image_shape; "
-                             "/v1/predict_image needs it to size the crops"})
-                return
-            if engine.image_dtype is None:
-                # raw 0-255 crops would silently feed a serve_fn that may
-                # expect normalized floats — fail loudly (ADVICE round 3)
-                import logging
-                logging.getLogger("rsgnet_tpu.serving").warning(
-                    "/v1/predict_image: engine.image_dtype is unset; "
-                    "sending RAW uint8 crops to the model — set image_dtype "
-                    "on the engine (tools/serve.py does) if the serve_fn "
-                    "expects normalized floats")
+            # the body must be CONSUMED before any reply: this handler is
+            # keep-alive (protocol_version HTTP/1.1), and an early reply
+            # leaves the multi-MB npz in the socket to be parsed as the
+            # next request line, desyncing the connection
             try:
                 with self._load_body_npz() as z:
                     boxes = z["boxes"]
@@ -142,6 +141,17 @@ def make_server(batcher: DynamicBatcher, host: str = "127.0.0.1",
                     else:
                         raise ValueError("need 'image' (H, W, 3 uint8) or "
                                          "'jpeg' (encoded bytes)")
+            except Exception as e:
+                self._reply_json(400, {"error": f"bad request: {e}"})
+                return
+            # server-side misconfiguration, not a client fault: without
+            # image_shape this route cannot size the crops (ADVICE round 3)
+            if engine.image_shape is None:
+                self._reply_json(500, {
+                    "error": "server engine has no image_shape; "
+                             "/v1/predict_image needs it to size the crops"})
+                return
+            try:
                 h, w, _ = engine.image_shape
                 crops, centers, scales = crops_from_boxes(image, boxes,
                                                           (w, h))

@@ -113,9 +113,13 @@ class AsyncCheckpointer:
 
 
 def peek_checkpoint(path: str) -> dict:
-    """Metadata-only read: {'epoch', 'perf', 'best_perf', 'batch_in_epoch'}
-    without needing a state template (e.g. to inspect where a preemption
-    checkpoint stopped)."""
+    """Read {'epoch', 'perf', 'best_perf', 'batch_in_epoch'} without a
+    state template (e.g. to inspect where a preemption checkpoint stopped).
+
+    Note: msgpack has no lazy field access, so this decodes the WHOLE
+    payload (params/opt_state included) to return four scalars — seconds
+    and a params-sized transient allocation on a real W32 checkpoint. Fine
+    for one-off inspection; do not call it in a loop."""
     with open(path, "rb") as f:
         raw = serialization.msgpack_restore(f.read())
     return {"epoch": int(raw.get("epoch", 0)),

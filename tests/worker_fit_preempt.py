@@ -105,6 +105,22 @@ def main():
 
     # bitwise: the resumed run replays the identical RNG/shuffle streams
     assert res == ref, f"resumed {res!r} != uninterrupted {ref!r}"
+
+    # the epoch-BOUNDARY consensus primitive (fit._boundary_stop's core):
+    # a flag raised on rank 0 only must read back 1.0 on EVERY rank — a
+    # signal landing during validate/checkpointing stops all ranks too
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rsgnet_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh(axis_name="data")
+    local = np.full((len(jax.local_devices()),),
+                    1.0 if pid == 0 else 0.0, np.float32)
+    flag = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("data")), local)
+    got = float(jax.jit(jnp.max)(flag))
+    assert got == 1.0, f"rank {pid} read boundary flag {got}"
+
     print(f"PREEMPT[{pid}]: {ref:.6f} {res:.6f}", flush=True)
 
 

@@ -96,10 +96,8 @@ def main():
         # restart path: every bucket executable loads from the cache
         # instead of recompiling (a cold 9-bucket warmup is minutes on a
         # tunneled chip; BENCH_NOTES round 4)
-        import jax
-        jax.config.update("jax_compilation_cache_dir", args.compile_cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        from rsgnet_tpu.utils.compile_cache import wire
+        wire(args.compile_cache)
     from rsgnet_tpu.serving import DynamicBatcher, ServingEngine
     from rsgnet_tpu.serving.http_server import make_server
     serve_fn, image_shape, dtype = build_serve_fn(args)
