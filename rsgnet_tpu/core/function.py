@@ -298,16 +298,18 @@ def fit(cfg: Config, model, train_dataset, val_dataset=None,
             logger.info("loaded %d pretrained backbone tensors from %s",
                         n, cfg.MODEL.PRETRAINED)
 
+    # The guard itself installs right before the epoch loop (so a raise in
+    # the jit wiring / resume below can never leak a SIGTERM handler), but
+    # the step program's signature needs the decision NOW; the predicate
+    # here is exactly the install condition further down.
+    will_own_guard = (preempt_guard is None and cfg.TRAIN.PREEMPT_CHECKPOINT
+                      and threading.current_thread()
+                      is threading.main_thread())
     guard = preempt_guard
-    owns_guard = False
-    if (guard is None and cfg.TRAIN.PREEMPT_CHECKPOINT
-            and threading.current_thread() is threading.main_thread()):
-        guard = PreemptionGuard().install()
-        owns_guard = True
     # consensual preemption stop is the multi-process protocol: the batch
     # carries each rank's local flag and the loop breaks on the all-reduced
     # metrics["stop"] — all ranks stop at the same step (PreemptionGuard)
-    stop_sync = nproc > 1 and guard is not None
+    stop_sync = nproc > 1 and (guard is not None or will_own_guard)
 
     def _boundary_stop():
         """Epoch-boundary stop decision. Single-process: the local flag.
@@ -394,6 +396,10 @@ def fit(cfg: Config, model, train_dataset, val_dataset=None,
     # boundary and auto-resumed is bitwise-identical to an uninterrupted
     # run (tests/test_resume_equivalence.py, tests/test_preemption.py).
     base_rng = jax.random.PRNGKey(0)
+    owns_guard = False
+    if will_own_guard:
+        guard = PreemptionGuard().install()
+        owns_guard = True
     stopped = False
     try:
         for epoch in range(begin_epoch, end_epoch):
