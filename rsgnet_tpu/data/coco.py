@@ -65,6 +65,11 @@ class COCODataset(TopDownDataset):
             for ann in self.coco.get_anns(img_id):
                 if ann.get("iscrowd", 0):
                     continue
+                # reference kernal filters to the person category before
+                # touching keypoints — a merged/instances-style json must
+                # not crash (missing 'keypoints') or pollute the db
+                if ann.get("category_id", 1) != 1:
+                    continue
                 # clean bbox (reference kernal): clip to image, require area
                 x, y, w, h = ann["bbox"]
                 x1, y1 = max(0, x), max(0, y)
@@ -74,7 +79,12 @@ class COCODataset(TopDownDataset):
                     continue
                 clean = [x1, y1, x2 - x1, y2 - y1]
                 kp = np.asarray(ann["keypoints"], np.float32).reshape(-1, 3)
-                if self.is_train and float(kp.max()) == 0:
+                # the reference skips zero-keypoint instances
+                # UNCONDITIONALLY (train AND the USE_GT_BBOX eval db): COCO
+                # val has thousands of them, and keeping them at eval adds
+                # spurious rescored predictions that can OKS-suppress real
+                # ones — AP would silently diverge from the reference
+                if float(kp.max()) == 0:
                     continue
                 joints = np.zeros((self.num_joints, 3), np.float32)
                 joints[:, :2] = kp[:, :2]

@@ -108,19 +108,24 @@ class KeypointEval:
         gt_order = np.argsort([g["_ignore"] for g in gts], kind="mergesort")
         dt_order = np.argsort([-d["score"] for d in dts],
                               kind="mergesort")[:self.max_dets]
-        # OKS is independent of the area range; compute it ONCE per image in
-        # original ann order and reindex per range (pycocotools computes IoUs
-        # once and reuses them across the 3 COCO area ranges)
+        # OKS is independent of the area range; compute it ONCE per image
+        # and reuse across the 3 COCO area ranges (pycocotools computes
+        # IoUs once too). dt_order is identical on every call (same
+        # scores, stable mergesort), so the matrix only needs the
+        # TOP-max_dets detections — a detector emitting 100+ per image
+        # would otherwise pay ~5x the necessary OKS work
         base = self._oks_cache.get(img_id)
         if base is None:
-            base = (self._compute_oks(dts, gts) if (dts and gts)
-                    else np.zeros((len(dts), len(gts))))
+            top_dts = [dts[i] for i in dt_order]
+            base = (self._compute_oks(top_dts, gts) if (top_dts and gts)
+                    else np.zeros((len(top_dts), len(gts))))
             self._oks_cache[img_id] = base
         gts = [gts[i] for i in gt_order]
         dts = [dts[i] for i in dt_order]
         iscrowd = [int(g.get("iscrowd", 0)) for g in gts]
 
-        ious = (base[np.ix_(dt_order, gt_order)] if base.size
+        # base rows are already in dt_order order; only gts re-sort per range
+        ious = (base[:, gt_order] if base.size
                 else np.zeros((len(dts), len(gts))))
 
         t_n, g_n, d_n = len(self.iou_thrs), len(gts), len(dts)

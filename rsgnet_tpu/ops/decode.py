@@ -64,8 +64,24 @@ def quarter_offset_jax(heatmaps_nhwc, coords):
     return coords + delta * ok[..., None].astype(jnp.float32)
 
 
+# cv2.getGaussianKernel(ksize, sigma<=0) does NOT use the sigma formula for
+# small kernels: ksize 1/3/5/7 come from fixed binomial-style tables
+# (OpenCV's small_gaussian_tab). DARK configs commonly use BLUR_KERNEL in
+# that range at small heatmap sizes, so parity requires the tables.
+_CV2_SMALL_GAUSSIAN_TAB = {
+    1: np.array([1.0], np.float32),
+    3: np.array([0.25, 0.5, 0.25], np.float32),
+    5: np.array([0.0625, 0.25, 0.375, 0.25, 0.0625], np.float32),
+    7: np.array([0.03125, 0.109375, 0.21875, 0.28125,
+                 0.21875, 0.109375, 0.03125], np.float32),
+}
+
+
 def _cv2_gaussian_kernel_1d(ksize):
-    """cv2.getGaussianKernel(ksize, sigma=0) coefficients."""
+    """cv2.getGaussianKernel(ksize, sigma=0) coefficients (incl. the fixed
+    small-kernel tables cv2 substitutes below ksize 9)."""
+    if ksize in _CV2_SMALL_GAUSSIAN_TAB:
+        return _CV2_SMALL_GAUSSIAN_TAB[ksize]
     sigma = 0.3 * ((ksize - 1) * 0.5 - 1) + 0.8
     xs = np.arange(ksize, dtype=np.float64) - (ksize - 1) * 0.5
     k = np.exp(-(xs ** 2) / (2.0 * sigma ** 2))

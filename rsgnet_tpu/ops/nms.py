@@ -120,10 +120,11 @@ def _rescore(overlap, scores, thresh, type='gaussian'):
 # JAX vectorized device implementation
 # ---------------------------------------------------------------------------
 
-def oks_matrix_jax(kpts, areas, sigmas, vis=None, in_vis_thre=None):
+def oks_matrix_jax(kpts, areas, sigmas, in_vis_thre=None):
     """Pairwise OKS over padded instances.
 
     kpts: (M, K, 3) poses [x, y, score]; areas: (M,); sigmas: (K,).
+    Visibility comes from ``kpts[..., 2]`` (gated by ``in_vis_thre``).
     Returns (M, M) OKS matrix (diagonal = self-OKS, ~1).
     """
     kpts = jnp.asarray(kpts, jnp.float32)
@@ -230,7 +231,14 @@ def _pad_instances(kpts_per_image, scores_per_image, areas_per_image,
     """Pad variable-length per-image instance lists to (N, M, ...) arrays."""
     n = len(kpts_per_image)
     k = kpts_per_image[0].shape[1]
-    m = int(pad_to or max(x.shape[0] for x in kpts_per_image))
+    biggest = max(x.shape[0] for x in kpts_per_image)
+    m = int(pad_to or biggest)
+    if biggest > m:
+        # a caller pinning pad_to for stable jit shapes must hear about a
+        # capacity overflow, not crash on an opaque broadcast error
+        raise ValueError(
+            f"pad_to={m} is smaller than the largest per-image instance "
+            f"count ({biggest}); raise pad_to or pre-trim the instances")
     kpts = np.zeros((n, m, k, 3), np.float32)
     scores = np.zeros((n, m), np.float32)
     areas = np.ones((n, m), np.float32)
@@ -301,21 +309,26 @@ def soft_oks_nms_jax(kpts, scores, areas, sigmas, thresh, valid=None,
     live_scores = jnp.where(valid, scores, neg_inf)
 
     def body(_, state):
-        live_scores, out_scores, keep = state
+        live_scores, out_scores, keep, dead = state
         # shared tie-break (NumPy oracle max-scan, C++ >= scan): the HIGHEST
         # index among equal live scores; plain argmax would pick the lowest
         i = m - 1 - jnp.argmax(live_scores[::-1])
         ok = live_scores[i] > neg_inf / 2
         decay = jnp.exp(-(oks[i] ** 2) / thresh)
         new_live = jnp.where(ok, live_scores * decay, live_scores)
-        new_live = new_live.at[i].set(neg_inf)
+        dead = dead.at[i].set(True)
+        # dead slots (consumed or invalid-from-the-start) must stay pinned
+        # at neg_inf: the per-round decay would otherwise drag the sentinel
+        # toward 0 until a spent slot passed the liveness test again and
+        # clobbered its returned decayed score
+        new_live = jnp.where(dead, neg_inf, new_live)
         keep = keep.at[i].set(keep[i] | ok)
         out_scores = out_scores.at[i].set(
             jnp.where(ok, live_scores[i], out_scores[i]))
-        return new_live, out_scores, keep
+        return new_live, out_scores, keep, dead
 
     rounds = min(max_dets, m)
-    _, out_scores, keep = jax.lax.fori_loop(
+    _, out_scores, keep, _ = jax.lax.fori_loop(
         0, rounds, body,
-        (live_scores, jnp.asarray(scores), jnp.zeros((m,), bool)))
+        (live_scores, jnp.asarray(scores), jnp.zeros((m,), bool), ~valid))
     return keep, out_scores

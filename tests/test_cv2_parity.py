@@ -73,12 +73,17 @@ def test_device_warp_matches_cv2_on_noise():
     assert d.mean() < 3.0, d.mean()          # 255-range noise, 1/32-px coords
 
 
-def test_dark_blur_matches_reference_cv2_procedure():
+import pytest
+
+
+@pytest.mark.parametrize("kernel", [3, 5, 7, 11, 17])
+def test_dark_blur_matches_reference_cv2_procedure(kernel):
     """dark_gaussian_blur_jax == the DARK paper's zero-pad + cv2.GaussianBlur
-    + max-rescale procedure."""
+    + max-rescale procedure. Small kernels matter: cv2 substitutes FIXED
+    binomial tables for ksize 1/3/5/7 (the sigma formula only applies from
+    9 up), and DARK configs commonly use BLUR_KERNEL in that range."""
     rng = np.random.RandomState(0)
     n, h, w, k = 2, 64, 48, 5
-    kernel = 11
     hm = rng.uniform(0, 1, (n, k, h, w)).astype(np.float32)
 
     want = hm.copy()

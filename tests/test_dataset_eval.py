@@ -31,8 +31,10 @@ def build(cfg, fixture_root, is_train=False):
 def test_gt_db_loading(fixture_root):
     cfg = make_cfg()
     ds = build(cfg, fixture_root)
-    # 6 annotations, minus 1 crowd = 5 instances (0-kpt kept in eval mode)
-    assert len(ds) == 5
+    # 6 annotations, minus 1 crowd, minus 1 zero-keypoint = 4 instances —
+    # the reference kernal drops zero-keypoint instances UNCONDITIONALLY
+    # (eval too), so the USE_GT_BBOX db matches it
+    assert len(ds) == 4
     rec = ds.db[0]
     assert rec["joints"].shape == (17, 3)
     # center/scale: aspect-ratio-fixed, padded 1.25x, pixel_std 200
@@ -53,12 +55,14 @@ def test_load_sample_and_loader(fixture_root):
     s = ds.load_sample(0)
     assert s["image"].shape == (*ds.src_size, 3)
     assert s["image"].dtype == np.uint8
-    loader = BatchLoader(ds, batch_size=4, pad_last=True)
+    # 4 eval instances (zero-keypoint gt dropped, reference semantics):
+    # batch 3 -> one full batch + one padded to the static batch shape
+    loader = BatchLoader(ds, batch_size=3, pad_last=True)
     batches = list(loader)
     assert len(batches) == 2
-    assert batches[0]["num_valid"] == 4
+    assert batches[0]["num_valid"] == 3
     assert batches[1]["num_valid"] == 1
-    assert batches[1]["image"].shape == (4, *ds.src_size, 3)
+    assert batches[1]["image"].shape == (3, *ds.src_size, 3)
 
 
 def test_device_prefetch(fixture_root):
@@ -66,7 +70,7 @@ def test_device_prefetch(fixture_root):
     ds = build(cfg, fixture_root)
     loader = BatchLoader(ds, batch_size=2)
     out = list(device_prefetch(iter(loader)))
-    assert len(out) == 3
+    assert len(out) == 2                 # 4 instances over batch 2
     assert hasattr(out[0]["image"], "devices")     # on device
 
 

@@ -117,6 +117,41 @@ def test_soft_oks_nms_decayed_score_parity():
                                        rtol=1e-4, atol=1e-5)
 
 
+def test_soft_oks_nms_padded_rounds_keep_sentinels_dead():
+    """Regression (round-4 review): with more rounds than live instances
+    the per-round gaussian decay used to drag the -1e30 dead-slot sentinel
+    toward 0 until a spent slot passed the liveness test again and its
+    returned decayed score was clobbered with ~-1e29 garbage. Two heavily
+    overlapping poses padded to m=20 with max_dets=20 reproduce it."""
+    rng = np.random.RandomState(3)
+    base = rng.uniform(60, 140, (17, 3)).astype(np.float32)
+    base[:, 2] = 0.9
+    near = base.copy()
+    near[:, :2] += 0.5                              # OKS ~0.98 overlap
+    kpts = np.zeros((20, 17, 3), np.float32)
+    kpts[0], kpts[1] = base, near
+    scores = np.zeros((20,), np.float32)
+    scores[0], scores[1] = 0.9, 0.8
+    areas = np.ones((20,), np.float32)
+    areas[:2] = 180.0 * 180.0
+    valid = np.zeros((20,), bool)
+    valid[:2] = True
+    keep, new_scores = nms.soft_oks_nms_jax(
+        kpts, scores, areas, COCO.sigmas, 0.9,
+        valid=jnp.asarray(valid), max_dets=20)
+    keep, new_scores = np.asarray(keep), np.asarray(new_scores)
+    db = [{"keypoints": kpts[i], "score": scores[i], "area": areas[i]}
+          for i in range(2)]
+    want_keep, want_scores = nms.soft_oks_nms_np(db, 0.9, COCO.sigmas,
+                                                 max_dets=20)
+    assert sorted(np.nonzero(keep[:2])[0].tolist()) == sorted(want_keep)
+    assert not keep[2:].any()                       # padding never kept
+    oracle = dict(zip(want_keep, want_scores))
+    for idx in want_keep:
+        np.testing.assert_allclose(new_scores[idx], oracle[idx],
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_batched_soft_oks_nms_matches_per_image():
     """Whole-dataset batched soft-NMS == per-image oracle on ragged groups."""
     rng = np.random.RandomState(7)
