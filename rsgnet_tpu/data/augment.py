@@ -131,9 +131,9 @@ def augment_batch(key, images, joints, joints_vis, centers, scales,
         c_flipped = jnp.stack([src_w - c[0] - 1.0, c[1]])
         c = jnp.where(do_flip, c_flipped, c)
         trans = get_affine_transform_jax(c, s, r, image_size)
-        return trans, do_flip, c, s
+        return trans, do_flip
 
-    trans, do_flip, centers2, scales2 = jax.vmap(per_sample)(
+    trans, do_flip = jax.vmap(per_sample)(
         keys, joints, joints_vis, centers, scales)
 
     # compose source-space mirror into the transform where flipped:

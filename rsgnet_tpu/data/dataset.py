@@ -223,18 +223,12 @@ class TopDownDataset:
         offset = np.zeros((2,), np.float32)
         decoded = self._decoded(rec["image_path"])
         if decoded[0] == "canvas":
-            _, canvas, h, w = decoded
-            return {
-                "image": canvas,
-                "joints": joints[:, :2],
-                "joints_vis": rec["joints_vis"][:, 0].astype(np.float32),
-                "center": center,
-                "scale": scale,
-                "score": np.float32(rec.get("score", 1.0)),
-                "image_id": np.int64(rec["image_id"]),
-                "factor": np.float32(1.0),
-                "offset": offset,
-            }
+            # pre-padded cached canvas: factor/offset stay identity; fall
+            # through to the ONE shared return (a second dict literal here
+            # invited schema drift between the branches — round-4 review)
+            canvas = decoded[1]
+            return self._sample_dict(rec, canvas, joints, center, scale,
+                                     factor, offset)
         img = decoded[1]
         h, w = img.shape[:2]
         if h > sh or w > sw:
@@ -244,8 +238,17 @@ class TopDownDataset:
             f = min(1.0, sw / float(need[0]), sh / float(need[1]))
             if f < 1.0:
                 factor = f
-                nh, nw = int(h * f), int(w * f)
-                img = _resize(img, nw, nh)
+                # scale by EXACTLY f via an affine warp: cv2.resize's
+                # pixel-center convention realizes nw/w (int-floored, per
+                # axis) plus a ~0.5*(1-f) px shift, so the recorded factor
+                # would not match the content and the eval un-mapping
+                # (p_canvas + offset)/factor would drift up to ~5 px in
+                # original space (round-4 review). warpAffine's integer-
+                # center map IS p -> p*f, both axes, no bias.
+                nh, nw = int(np.ceil(h * f)), int(np.ceil(w * f))
+                from rsgnet_tpu.ops.warp import host_affine_crop
+                m = np.array([[f, 0.0, 0.0], [0.0, f, 0.0]], np.float64)
+                img = host_affine_crop(img, m, (nw, nh))
                 center *= f
                 scale *= f
                 joints[:, :2] *= f
@@ -262,6 +265,12 @@ class TopDownDataset:
             h, w = img.shape[:2]
         canvas = np.zeros((sh, sw, 3), np.uint8)
         canvas[:h, :w] = img
+        return self._sample_dict(rec, canvas, joints, center, scale,
+                                 factor, offset)
+
+    def _sample_dict(self, rec, canvas, joints, center, scale, factor,
+                     offset):
+        """The one sample schema both load_sample branches return."""
         return {
             "image": canvas,
             "joints": joints[:, :2],
@@ -323,10 +332,3 @@ class TopDownDataset:
         raise NotImplementedError
 
 
-def _resize(img: np.ndarray, w: int, h: int) -> np.ndarray:
-    try:
-        import cv2
-        return cv2.resize(img, (w, h), interpolation=cv2.INTER_LINEAR)
-    except ImportError:
-        from PIL import Image
-        return np.asarray(Image.fromarray(img).resize((w, h), Image.BILINEAR))

@@ -26,6 +26,7 @@ bit-for-bit coordinates (BASELINE.json:5).
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 PIXEL_STD = 200.0
@@ -220,11 +221,18 @@ def get_affine_transform_jax(center, scale, rot_deg, output_size,
 
 
 def affine_transform_jax(pts, t):
-    """Apply 2x3 transforms to points. pts: (..., 2), t: (..., 2, 3)."""
+    """Apply 2x3 transforms to points. pts: (..., 2), t: (..., 2, 3).
+
+    Precision.HIGHEST is REQUIRED: at the TPU default the einsum's bf16
+    passes cost ~0.4% of the absolute coordinate (measured ~2.3 px at
+    x~600 on chip vs 7e-5 at HIGHEST) — this op is the eval
+    heatmap->image mapping, the exact path the bit-for-bit coordinate
+    contract gates on (same reason separable_warp_batch pins it)."""
     pts = jnp.asarray(pts, jnp.float32)
     xy1 = jnp.concatenate([pts, jnp.ones(pts.shape[:-1] + (1,), pts.dtype)],
                           axis=-1)
-    return jnp.einsum('...ij,...j->...i', t, xy1)
+    return jnp.einsum('...ij,...j->...i', t, xy1,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def transform_preds_jax(coords, center, scale, output_size):
