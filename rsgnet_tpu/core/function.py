@@ -91,6 +91,24 @@ class PreemptionGuard:
         return self.stop_requested
 
 
+def consensual_stop_flag(stop_requested: bool, mesh, axis_name) -> bool:
+    """One tiny max-reduce of a host-local stop flag over the mesh.
+
+    The epoch-boundary half of the consensual-preemption protocol: a signal
+    that lands during validate/checkpointing reaches only some ranks, and a
+    local break would strand the peers in the next epoch's first
+    collective. Reducing the flag makes the boundary decision identical on
+    every rank. (The in-epoch half rides the batch through the train step —
+    ``_inject_stop_flags`` + ``metrics["stop"]``.)
+    Default-tier coverage: tests/test_consensual_stop.py.
+    """
+    local = np.full((len(jax.local_devices()),),
+                    1.0 if stop_requested else 0.0, np.float32)
+    flag = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P(axis_name)), local)
+    return float(jax.jit(jnp.max)(flag)) > 0
+
+
 def _inject_stop_flags(iterator, guard, start_step=0):
     """Attach each process's LOCAL stop flag to every host batch (key
     "stop", (local_batch,) float32 0/1). The train step max-reduces the
@@ -313,21 +331,14 @@ def fit(cfg: Config, model, train_dataset, val_dataset=None,
 
     def _boundary_stop():
         """Epoch-boundary stop decision. Single-process: the local flag.
-        Multi-process: the flag must be CONSENSUAL here too — a signal that
-        lands during validate/checkpointing (or inside the last
-        prefetch-depth batches, after the in-epoch flags were attached)
-        reaches only some ranks, and a local break would strand the peers
-        in the next epoch's first collective. One tiny max-reduce over the
-        mesh makes the boundary decision identical on every rank."""
+        Multi-process: consensual via ``consensual_stop_flag`` — see its
+        docstring for why a local break would strand the peers."""
         if guard is None:
             return False
         if not stop_sync:
             return guard.stop_requested
-        local = np.full((len(jax.local_devices()),),
-                        1.0 if guard.stop_requested else 0.0, np.float32)
-        flag = jax.make_array_from_process_local_data(
-            NamedSharding(mesh, P(cfg.MESH_DATA_AXIS)), local)
-        return float(jax.jit(jnp.max)(flag)) > 0
+        return consensual_stop_flag(guard.stop_requested, mesh,
+                                    cfg.MESH_DATA_AXIS)
 
     repl = NamedSharding(mesh, P())
     shard = NamedSharding(mesh, P(cfg.MESH_DATA_AXIS))
