@@ -18,8 +18,10 @@ Three layers, each usable alone:
     /v1/predict (pre-cropped batches) and /v1/predict_image (one raw frame
     + detector boxes; server-side preprocessing via preprocess.py).
 """
-from rsgnet_tpu.serving.batcher import DynamicBatcher
+from rsgnet_tpu.serving.batcher import (DeadlineExceededError, DynamicBatcher,
+                                        QueueFullError)
 from rsgnet_tpu.serving.engine import ServingEngine
 from rsgnet_tpu.serving.preprocess import crops_from_boxes
 
-__all__ = ["ServingEngine", "DynamicBatcher", "crops_from_boxes"]
+__all__ = ["ServingEngine", "DynamicBatcher", "crops_from_boxes",
+           "QueueFullError", "DeadlineExceededError"]

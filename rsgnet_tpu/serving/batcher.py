@@ -22,6 +22,17 @@ request can pay to help fill a batch (set ~= the per-batch step time;
 tools/profile_serving.py measures it); ``in_flight`` >= 2 hides the
 response round trip (diminishing returns beyond 3-4 — each slot pins one
 batch's buffers in HBM).
+
+Admission control (VERDICT round-4 item 3): an unbounded queue has no
+failure mode except unbounded latency — the closed-loop ladder showed p95
+12.6 s at 64 clients (BENCH_NOTES round 4). Production behavior is to
+shed instead: ``max_queued`` bounds the *instances* waiting in the queue
+and ``submit`` raises ``QueueFullError`` (HTTP maps it to 503 +
+Retry-After) once the bound is hit, so saturation costs the shed client
+one fast round trip instead of costing every client a deep queue. A
+request may also carry a ``timeout_s``: one already past its deadline at
+DISPATCH time is completed with ``DeadlineExceededError`` instead of
+paying device time for a response its client stopped waiting for.
 """
 from __future__ import annotations
 
@@ -39,6 +50,27 @@ from rsgnet_tpu.serving.engine import ServingEngine
 _STOP = object()
 
 
+class QueueFullError(RuntimeError):
+    """Admission control: the batcher queue is at capacity — shed load.
+
+    ``retry_after_s`` is the server's estimate of when capacity frees up
+    (queued work / measured throughput when the engine is warm)."""
+
+    def __init__(self, queued: int, capacity: int, retry_after_s: float):
+        super().__init__(
+            f"queue full: {queued} instances waiting >= max_queued "
+            f"{capacity}; retry in ~{retry_after_s:.2f}s")
+        self.queued = queued
+        self.capacity = capacity
+        self.retry_after_s = retry_after_s
+
+
+class DeadlineExceededError(TimeoutError):
+    """The request's deadline passed before it reached the device; the
+    batcher dropped it at dispatch time instead of computing a response
+    nobody is waiting for."""
+
+
 @dataclass
 class _Pending:
     images: np.ndarray
@@ -46,6 +78,7 @@ class _Pending:
     scales: np.ndarray
     n: int
     future: Future
+    deadline: float | None = None       # absolute perf_counter() time
     t_submit: float = field(default_factory=time.perf_counter)
 
 
@@ -58,12 +91,16 @@ class DynamicBatcher:
     """
 
     def __init__(self, engine: ServingEngine, max_batch: int | None = None,
-                 max_wait_ms: float = 5.0, in_flight: int = 2):
+                 max_wait_ms: float = 5.0, in_flight: int = 2,
+                 max_queued: int | None = None):
         if in_flight < 1:
             raise ValueError("in_flight must be >= 1")
+        if max_queued is not None and max_queued < 1:
+            raise ValueError("max_queued must be >= 1 (or None: unbounded)")
         self.engine = engine
         self.max_batch = min(max_batch or engine.max_batch, engine.max_batch)
         self.max_wait_s = max_wait_ms / 1e3
+        self.max_queued = max_queued
         self._q: queue.Queue = queue.Queue()
         self._done_q: queue.Queue = queue.Queue()
         self._slots = threading.Semaphore(in_flight)
@@ -72,6 +109,9 @@ class DynamicBatcher:
         self._n_requests = 0
         self._n_batches = 0
         self._n_instances = 0
+        self._n_rejected = 0            # shed at submit (queue full)
+        self._n_expired = 0             # dropped at dispatch (deadline past)
+        self._queued_n = 0              # instances currently in the queue
         self._latencies: list = []          # bounded, most recent first
         self._dispatcher = threading.Thread(target=self._dispatch_loop,
                                             name="batcher-dispatch",
@@ -84,25 +124,59 @@ class DynamicBatcher:
 
     # -- client side ---------------------------------------------------------
 
-    def submit(self, images, centers, scales) -> Future:
-        """Enqueue one request (1..max_batch instances); returns a Future."""
+    def submit(self, images, centers, scales,
+               timeout_s: float | None = None) -> Future:
+        """Enqueue one request (1..max_batch instances); returns a Future.
+
+        ``timeout_s``: the client's patience. Past ``submit + timeout_s``
+        the request is dropped at dispatch time (``DeadlineExceededError``
+        on the future) rather than executed. Raises ``QueueFullError``
+        when ``max_queued`` instances are already waiting.
+        """
         if self._closed:
             raise RuntimeError("batcher is closed")
         n = self.engine.validate(images, centers, scales)
         if n > self.max_batch:
             raise ValueError(f"request has {n} instances > max_batch "
                              f"{self.max_batch}; split it client-side")
+        deadline = (time.perf_counter() + timeout_s
+                    if timeout_s is not None else None)
         p = _Pending(np.asarray(images), np.asarray(centers, np.float32),
-                     np.asarray(scales, np.float32), n, Future())
+                     np.asarray(scales, np.float32), n, Future(),
+                     deadline=deadline)
         with self._lock:
+            if (self.max_queued is not None
+                    and self._queued_n + n > self.max_queued):
+                self._n_rejected += 1
+                raise QueueFullError(self._queued_n, self.max_queued,
+                                     self._retry_after_locked())
             self._n_requests += 1
+            self._queued_n += n
         self._q.put(p)
         return p.future
 
+    def _retry_after_locked(self) -> float:
+        """Estimate (holding ``self._lock``) of when queue capacity frees:
+        queued work / measured throughput. Falls back to the recent p50
+        latency, then to max_wait — always a small positive number so a
+        503's Retry-After is never zero or absurd."""
+        cost = self.engine.bucket_cost
+        if cost:
+            per_instance = min(c / b for b, c in cost.items() if b > 0)
+            est = self._queued_n * per_instance
+        elif self._latencies:
+            est = float(np.median(self._latencies[-50:]))
+        else:
+            est = self.max_wait_s
+        return float(min(max(est, 0.05), 10.0))
+
     def predict(self, images, centers, scales, timeout: float | None = None
                 ) -> Tuple[np.ndarray, np.ndarray]:
-        """Blocking convenience wrapper: submit + result."""
-        return self.submit(images, centers, scales).result(timeout=timeout)
+        """Blocking convenience wrapper: submit + result. ``timeout`` is
+        both the host wait bound and the dispatch deadline — a request this
+        caller has given up on is never sent to the device."""
+        return self.submit(images, centers, scales,
+                           timeout_s=timeout).result(timeout=timeout)
 
     def stats(self) -> dict:
         with self._lock:
@@ -110,6 +184,10 @@ class DynamicBatcher:
             out = {"requests": self._n_requests,
                    "batches": self._n_batches,
                    "instances": self._n_instances,
+                   "rejected": self._n_rejected,
+                   "expired": self._n_expired,
+                   "queued_instances": self._queued_n,
+                   "max_queued": self.max_queued,
                    "mean_batch_fill": (self._n_instances
                                        / max(self._n_batches, 1))}
         if lat.size:
@@ -135,6 +213,31 @@ class DynamicBatcher:
 
     # -- dispatcher ------------------------------------------------------------
 
+    def _take(self, block: bool = True, timeout: float | None = None):
+        """Pop one queue item, keeping the queued-instance counter (the
+        admission-control ledger) exact. Raises ``queue.Empty``."""
+        item = self._q.get(block=block, timeout=timeout)
+        if item is not _STOP:
+            with self._lock:
+                self._queued_n -= item.n
+        return item
+
+    def _expire(self, p) -> bool:
+        """Deadline-aware dispatch: if ``p``'s deadline has passed, complete
+        it with ``DeadlineExceededError`` (no device time spent) and return
+        True."""
+        if p.deadline is None:
+            return False
+        now = time.perf_counter()
+        if now <= p.deadline:
+            return False
+        with self._lock:
+            self._n_expired += 1
+        p.future.set_exception(DeadlineExceededError(
+            f"deadline passed before dispatch (queued "
+            f"{now - p.t_submit:.3f}s)"))
+        return True
+
     def _dispatch_loop(self):
         carry = None                    # request that overflowed last group
         stopping = False
@@ -142,9 +245,11 @@ class DynamicBatcher:
             if carry is not None:
                 first, carry = carry, None
             else:
-                first = self._q.get()
+                first = self._take()
                 if first is _STOP:
                     break
+            if self._expire(first):
+                continue
             group, total = [first], first.n
             deadline = first.t_submit + self.max_wait_s
             while total < self.max_batch:
@@ -152,33 +257,37 @@ class DynamicBatcher:
                 # deadline may already be past while the queue holds a full
                 # batch — drain what is already here before giving up
                 try:
-                    nxt = self._q.get_nowait()
+                    nxt = self._take(block=False)
                 except queue.Empty:
                     wait = deadline - time.perf_counter()
                     if wait <= 0:
                         break
                     try:
-                        nxt = self._q.get(timeout=wait)
+                        nxt = self._take(timeout=wait)
                     except queue.Empty:
                         break
                 if nxt is _STOP:
                     stopping = True
                     break
+                if self._expire(nxt):
+                    continue
                 if total + nxt.n > self.max_batch:
                     carry = nxt        # starts the next group
                     break
                 group.append(nxt)
                 total += nxt.n
             self._dispatch(group, total)
-        # drain anything still queued (close() guarantees completion)
+        # drain anything still queued (close() guarantees completion —
+        # still-live requests run, already-expired ones complete as such)
         leftovers = [carry] if carry is not None else []
         while True:
             try:
-                item = self._q.get_nowait()
+                item = self._take(block=False)
             except queue.Empty:
                 break
             if item is not _STOP:
                 leftovers.append(item)
+        leftovers = [p for p in leftovers if not self._expire(p)]
         while leftovers:
             group, total = [], 0
             while leftovers and total + leftovers[0].n <= self.max_batch:

@@ -33,12 +33,15 @@ from __future__ import annotations
 
 import io
 import json
+import math
+from concurrent.futures import TimeoutError as FutureTimeoutError
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
 from rsgnet_tpu.ops.warp import IMAGENET_MEAN, IMAGENET_STD
-from rsgnet_tpu.serving.batcher import DynamicBatcher
+from rsgnet_tpu.serving.batcher import (DeadlineExceededError, DynamicBatcher,
+                                        QueueFullError)
 from rsgnet_tpu.serving.preprocess import crops_from_boxes
 
 MAX_BODY_BYTES = 512 * 1024 * 1024
@@ -79,8 +82,25 @@ def make_server(batcher: DynamicBatcher, host: str = "127.0.0.1",
             self.end_headers()
             self.wfile.write(body)
 
-        def _reply_json(self, code: int, obj):
-            self._reply(code, json.dumps(obj).encode(), "application/json")
+        def _reply_json(self, code: int, obj, headers=()):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            for k, v in headers:
+                self.send_header(k, v)
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _reply_shed(self, e: QueueFullError):
+            """503 + Retry-After: the admission-control response. The
+            client pays one fast round trip instead of deepening the
+            queue for everyone (docs/SERVING.md overload notes)."""
+            self._reply_json(
+                503, {"error": str(e),
+                      "retry_after_s": e.retry_after_s},
+                headers=(("Retry-After",
+                          str(max(1, math.ceil(e.retry_after_s)))),))
 
         def do_GET(self):
             if self.path == "/healthz":
@@ -113,6 +133,13 @@ def make_server(batcher: DynamicBatcher, host: str = "127.0.0.1",
             try:
                 preds, maxvals = batcher.predict(images, centers, scales,
                                                  timeout=request_timeout_s)
+            except QueueFullError as e:            # overload → shed
+                self._reply_shed(e)
+                return
+            except (DeadlineExceededError,
+                    FutureTimeoutError) as e:      # deadline → timeout
+                self._reply_json(504, {"error": str(e) or "deadline"})
+                return
             except (ValueError, TypeError) as e:   # validation → client
                 self._reply_json(400, {"error": str(e)})
                 return
@@ -169,14 +196,23 @@ def make_server(batcher: DynamicBatcher, host: str = "127.0.0.1",
             try:
                 # one frame may hold more people than max_batch: split into
                 # batcher-legal requests; they pipeline through the same
-                # coalescer and come back in order
+                # coalescer and come back in order. All-or-nothing
+                # admission: a shed on any chunk sheds the frame (the
+                # already-queued chunks still run; their futures are
+                # simply not awaited — their deadline bounds the waste)
                 futures, m = [], batcher.max_batch
                 for i in range(0, len(crops), m):
-                    futures.append(batcher.submit(crops[i:i + m],
-                                                  centers[i:i + m],
-                                                  scales[i:i + m]))
+                    futures.append(batcher.submit(
+                        crops[i:i + m], centers[i:i + m], scales[i:i + m],
+                        timeout_s=request_timeout_s))
                 parts = [f.result(timeout=request_timeout_s)
                          for f in futures]
+            except QueueFullError as e:
+                self._reply_shed(e)
+                return
+            except (DeadlineExceededError, FutureTimeoutError) as e:
+                self._reply_json(504, {"error": str(e) or "deadline"})
+                return
             except (ValueError, TypeError) as e:
                 self._reply_json(400, {"error": str(e)})
                 return

@@ -559,3 +559,141 @@ def test_batcher_dispatches_bucket_aligned_chunks(served):
     assert calls[0] == 1
     # the queued 5 went out as 4 + 1 (bucket-aligned), not padded to 16
     assert sorted(calls[1:]) == [1, 4], calls
+
+
+# --- admission control + deadline-aware dispatch (VERDICT round-4 item 3) ---
+
+
+def _gated_engine(served, buckets=(1, 2, 4)):
+    """Engine whose serve_fn blocks until the gate opens — deterministic
+    queue buildup for admission-control scenarios."""
+    serve_fn, image_shape, _ = served
+    gate = threading.Event()
+
+    def gated(images, centers, scales):
+        gate.wait(120)
+        return serve_fn(images, centers, scales)
+
+    eng = ServingEngine(gated, buckets=buckets, image_shape=image_shape,
+                        image_dtype=np.uint8)
+    return eng, gate, image_shape
+
+
+def _wait_queue_drained(batcher, timeout=30.0):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        if batcher.stats()["queued_instances"] == 0:
+            return
+        time.sleep(0.01)
+    raise AssertionError("dispatcher never took the queued request")
+
+
+def test_admission_control_sheds_at_capacity(served):
+    """max_queued bounds the waiting instances: the submit that would
+    exceed it raises QueueFullError with a positive retry estimate, is
+    counted as rejected, and every ADMITTED request still completes."""
+    from rsgnet_tpu.serving import QueueFullError
+    eng, gate, image_shape = _gated_engine(served)
+    rng = np.random.default_rng(21)
+    b = DynamicBatcher(eng, max_wait_ms=1.0, in_flight=1, max_queued=3)
+    try:
+        futs = [b.submit(*random_request(rng, image_shape, 1))]
+        _wait_queue_drained(b)          # dispatcher blocked in the engine
+        futs += [b.submit(*random_request(rng, image_shape, 1))
+                 for _ in range(3)]
+        with pytest.raises(QueueFullError) as ei:
+            b.submit(*random_request(rng, image_shape, 1))
+        assert ei.value.retry_after_s > 0
+        st = b.stats()
+        assert st["rejected"] == 1
+        assert st["queued_instances"] == 3
+        gate.set()
+        for f in futs:                  # shed costs the shed request only
+            f.result(timeout=300)
+        st = b.stats()
+        assert st["rejected"] == 1 and st["requests"] == 4
+        assert st["queued_instances"] == 0      # ledger back to zero
+    finally:
+        gate.set()
+        b.close()
+
+
+def test_deadline_dropped_at_dispatch(served):
+    """A request whose deadline passed while queued completes with
+    DeadlineExceededError and never reaches the device (no engine batch)."""
+    from rsgnet_tpu.serving import DeadlineExceededError
+    eng, gate, image_shape = _gated_engine(served)
+    rng = np.random.default_rng(22)
+    b = DynamicBatcher(eng, max_wait_ms=1.0, in_flight=1)
+    try:
+        f1 = b.submit(*random_request(rng, image_shape, 1))
+        _wait_queue_drained(b)          # f1 holds the device slot
+        f2 = b.submit(*random_request(rng, image_shape, 1), timeout_s=0.05)
+        time.sleep(0.25)                # f2's deadline passes in the queue
+        gate.set()
+        with pytest.raises(DeadlineExceededError):
+            f2.result(timeout=300)
+        f1.result(timeout=300)          # the live request is unaffected
+        assert b.stats()["expired"] == 1
+        assert eng.stats()["batches"] == 1      # f2 cost zero device time
+    finally:
+        gate.set()
+        b.close()
+
+
+def test_http_sheds_503_with_retry_after(served):
+    """Saturation through the HTTP front: queue full -> 503 + Retry-After
+    (the load balancer's signal), not an unbounded wait."""
+    import urllib.error
+
+    from rsgnet_tpu.serving.http_server import make_server, predict_remote
+    eng, gate, image_shape = _gated_engine(served)
+    batcher = DynamicBatcher(eng, max_wait_ms=1.0, in_flight=1, max_queued=1)
+    server = make_server(batcher, port=0, request_timeout_s=60.0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    url = "http://%s:%d" % server.server_address
+    rng = np.random.default_rng(23)
+    try:
+        f1 = batcher.submit(*random_request(rng, image_shape, 1))
+        _wait_queue_drained(batcher)
+        f2 = batcher.submit(*random_request(rng, image_shape, 1))
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            predict_remote(url, *random_request(rng, image_shape, 1),
+                           timeout=30)
+        assert ei.value.code == 503
+        assert int(ei.value.headers["Retry-After"]) >= 1
+        assert "retry_after_s" in ei.value.read().decode()
+        gate.set()
+        f1.result(timeout=300)
+        f2.result(timeout=300)
+    finally:
+        gate.set()
+        server.shutdown()
+        server.server_close()
+        batcher.close()
+
+
+def test_http_times_out_504(served):
+    """A stalled engine turns into a bounded 504 for the client (the
+    server-side request_timeout_s), not an indefinite hang."""
+    import urllib.error
+
+    from rsgnet_tpu.serving.http_server import make_server, predict_remote
+    eng, gate, image_shape = _gated_engine(served)
+    batcher = DynamicBatcher(eng, max_wait_ms=1.0, in_flight=1)
+    server = make_server(batcher, port=0, request_timeout_s=0.3)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    url = "http://%s:%d" % server.server_address
+    rng = np.random.default_rng(24)
+    try:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            predict_remote(url, *random_request(rng, image_shape, 1),
+                           timeout=30)
+        assert ei.value.code == 504
+    finally:
+        gate.set()
+        server.shutdown()
+        server.server_close()
+        batcher.close()

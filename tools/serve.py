@@ -48,6 +48,11 @@ def parse_args():
                    help="max queueing delay a request pays to fill a batch")
     p.add_argument("--in-flight", type=int, default=2,
                    help="device batches kept in flight")
+    p.add_argument("--max-queued", type=int, default=-1,
+                   help="admission control: max instances waiting in the "
+                        "queue before requests shed with 503+Retry-After "
+                        "(default -1 = 8x the largest bucket; 0 = "
+                        "unbounded)")
     p.add_argument("--compile-cache", default=".jax_serve_cache",
                    metavar="DIR",
                    help="persistent XLA compile-cache dir: server RESTARTS "
@@ -107,8 +112,11 @@ def main():
     log.info("compiling %d buckets %s for %s crops...",
              len(buckets), buckets, "x".join(map(str, image_shape)))
     engine.warmup()
+    max_queued = (8 * max(buckets) if args.max_queued < 0
+                  else args.max_queued or None)
     batcher = DynamicBatcher(engine, max_wait_ms=args.max_wait_ms,
-                             in_flight=args.in_flight)
+                             in_flight=args.in_flight,
+                             max_queued=max_queued)
     server = make_server(batcher, host=args.host, port=args.port)
     log.info("serving on http://%s:%d (POST /v1/predict, "
              "POST /v1/predict_image, GET /v1/stats)",
