@@ -24,6 +24,7 @@ Usage: python tools/profile_tpu_allreduce.py [--topology v5e:2x4]
 from __future__ import annotations
 
 import argparse
+import os
 import re
 
 import jax
@@ -38,27 +39,50 @@ from rsgnet_tpu.data.skeletons import get_spec
 from rsgnet_tpu.models import get_pose_net
 
 
-def collective_summary(hlo_text):
-    """(n_allreduce, elements, n_other) from optimized HLO text. Tuple
-    all-reduces (the combiner's output) count ONCE with every element."""
-    n_ar, elems = 0, 0
+def _shape_elems(type_text):
+    """Total element count across every shape literal in ``type_text``.
+    TPU HLO layouts embed parens (``{1,0:T(8,128)S(1)}``), so parsing must
+    key on the ``dtype[dims]`` brackets, never on paren matching."""
+    n = 0
+    for _, dims in re.findall(r"(\w+)\[([\d,]*)\]", type_text):
+        k = 1
+        for d in dims.split(","):
+            if d:
+                k *= int(d)
+        n += k
+    return n
+
+
+def allreduce_sizes(hlo_text):
+    """Element count per all-reduce op (tuple all-reduces — the combiner's
+    output — count once with every operand element)."""
+    sizes = []
     for line in hlo_text.splitlines():
-        m = re.search(r"=\s*(\([^)]*\)|\S+)\s+all-reduce(?:-start)?\(", line)
-        if not m:
+        if " all-reduce(" not in line and " all-reduce-start(" not in line:
             continue
-        n_ar += 1
-        for _, dims in re.findall(r"(\w+)\[([\d,]*)\]", m.group(1)):
-            k = 1
-            for d in dims.split(","):
-                if d:
-                    k *= int(d)
-            elems += k
-    n_other = sum(1 for l in hlo_text.splitlines()
-                  if "=" in l and any(c in l for c in
-                                      ("all-gather", "all-to-all",
-                                       "collective-permute",
-                                       "reduce-scatter")))
-    return n_ar, elems, n_other
+        lhs = re.split(r" all-reduce(?:-start)?\(", line)[0]
+        if "=" not in lhs:
+            continue
+        sizes.append(_shape_elems(lhs.split("=", 1)[1]))
+    return sizes
+
+
+def collective_summary(hlo_text):
+    """(n_allreduce, elements, other: {kind: total_elements})."""
+    sizes = allreduce_sizes(hlo_text)
+    other = {}
+    for kind in ("all-gather", "all-to-all", "collective-permute",
+                 "reduce-scatter"):
+        tot = 0
+        for line in hlo_text.splitlines():
+            if f" {kind}(" not in line and f" {kind}-start(" not in line:
+                continue
+            lhs = re.split(rf" {kind}(?:-start)?\(", line)[0]
+            if "=" in lhs:
+                tot += _shape_elems(lhs.split("=", 1)[1])
+        if tot:
+            other[kind] = tot
+    return len(sizes), sum(sizes), other
 
 
 def flagship_abstract_args(cfg, model, n_devices):
@@ -101,15 +125,45 @@ def compile_flagship_for(mesh, warp="auto"):
     return txt, int(n_params)
 
 
+def summarize(txt, n_params):
+    """The numbers the bucketing question turns on. ``grad_ops`` = the
+    count of all-reduces carrying >= 1M elements — the gradient buckets;
+    everything smaller is the per-layer BN-statistics forward sync, which
+    is sequentially dependent (layer n+1 consumes layer n's normalized
+    output) and therefore uncombinable by ANY implementation."""
+    sizes = sorted(allreduce_sizes(txt))
+    big = [s for s in sizes if s >= 2 ** 20]
+    _, total, other = collective_summary(txt)
+    return {
+        "n_allreduce": len(sizes),
+        "total_elements": int(total),
+        "param_ratio": round(total / n_params, 4),
+        "grad_ops": len(big),
+        "grad_elements": int(sum(big)),
+        "grad_volume_share": round(sum(big) / max(total, 1), 4),
+        "grad_sizes": [int(s) for s in big],
+        "small_ops": len(sizes) - len(big),
+        "small_elements": int(total - sum(big)),
+        "other_collectives": other,
+        "n_params": int(n_params),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--topology", default="v5e:2x4",
                     help="TPU topology name for get_topology_desc")
     ap.add_argument("--warp", default="auto")
+    ap.add_argument("--json", default="",
+                    help="also write the summary dict to this path")
     args = ap.parse_args()
 
     from jax.experimental import topologies
     from jax.sharding import Mesh
+
+    from rsgnet_tpu.utils.compile_cache import wire
+    wire(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_compile_cache"))
 
     topo = topologies.get_topology_desc(platform="tpu",
                                         topology_name=args.topology)
@@ -117,10 +171,21 @@ def main():
     print(f"compiling flagship train step for TPU {args.topology} "
           f"({mesh.size} devices, warp={args.warp}) ...", flush=True)
     txt, n_params = compile_flagship_for(mesh, warp=args.warp)
-    n_ar, elems, n_other = collective_summary(txt)
-    print(f"TPU {args.topology}: {n_ar} all-reduce ops, {elems} elements "
-          f"({elems / n_params:.3f}x param volume), "
-          f"other collectives = {n_other}")
+    s = summarize(txt, n_params)
+    print(f"TPU {args.topology}: {s['n_allreduce']} all-reduce ops, "
+          f"{s['total_elements']} elements ({s['param_ratio']:.3f}x param "
+          f"volume); gradient sync = {s['grad_ops']} combined ops "
+          f"{s['grad_sizes']} carrying {s['grad_volume_share']:.1%} of "
+          f"volume; {s['small_ops']} small BN-stat ops; other collectives "
+          f"= {s['other_collectives']}")
+    if args.json:
+        import datetime
+        import json
+        s["topology"] = args.topology
+        s["date"] = datetime.date.today().isoformat()
+        with open(args.json, "w") as f:
+            json.dump(s, f, indent=1)
+        print(f"wrote {args.json}")
 
 
 if __name__ == "__main__":
