@@ -277,14 +277,12 @@ def fit(cfg: Config, model, train_dataset, val_dataset=None,
     n_dev = mesh.size
     batch_size = cfg.TRAIN.BATCH_SIZE_PER_GPU * n_dev
     if cfg.TRAIN.LOADER == "grain":
-        if nproc > 1:
-            raise NotImplementedError(
-                "TRAIN.LOADER=grain has no multi-process sharding; use the "
-                "threaded loader for multi-host runs")
         from rsgnet_tpu.data.grain_pipeline import GrainBatchLoader
         loader = GrainBatchLoader(train_dataset, batch_size,
                                   shuffle=cfg.TRAIN.SHUFFLE,
-                                  num_workers=num_workers)
+                                  num_workers=num_workers,
+                                  process_shard=(pid, nproc) if nproc > 1
+                                  else None)
     else:
         loader = BatchLoader(train_dataset, batch_size,
                              shuffle=cfg.TRAIN.SHUFFLE, drop_last=True,

@@ -4,8 +4,13 @@ threaded BatchLoader (reference DataLoader worker-pool analogue, SURVEY.md
 
 Gives deterministic global shuffling, multi-epoch iteration, worker
 processes (decode parallelism beyond the GIL), and checkpointable iterators;
-emits the same batch dict the device pipeline consumes. Multi-host sharding
-slots in via ``shard_options`` when the framework ever runs multi-process.
+emits the same batch dict the device pipeline consumes. Multi-host DP uses
+``process_shard``: every process evaluates the SAME shuffled global order
+(seed-pinned) and loads only its contiguous rows of each global batch —
+the same within-batch slicing contract as ``BatchLoader(process_shard=)``,
+so ``device_prefetch``'s ``make_array_from_process_local_data`` reassembles
+a global batch bit-identical to the single-process one
+(tests/test_grain_pipeline.py::test_process_shard_reassembles_global_batches).
 """
 from __future__ import annotations
 
@@ -28,19 +33,65 @@ class _SampleMap:
         return self.dataset.load_sample(int(idx))
 
 
+class _ShardIndex:
+    """Picklable callable: LOCAL sample position -> global dataset index.
+
+    The global (shuffled) stream is conceptually chopped into global
+    batches of ``global_batch``; process ``pid`` of ``nproc`` owns the
+    contiguous rows ``[pid*L, (pid+1)*L)`` of every batch (L = per-process
+    batch). Local position j therefore reads global stream position
+    ``(j // L) * global_batch + pid * L + (j % L)``. ``base`` is the
+    shuffled index MapDataset — random access into it is O(1) index
+    arithmetic, so skipped rows are never materialized."""
+
+    def __init__(self, base, global_batch: int, pid: int, nproc: int):
+        self.base = base
+        self.B = int(global_batch)
+        self.L = int(global_batch) // int(nproc)
+        self.off = int(pid) * self.L
+
+    def __call__(self, j) -> int:
+        j = int(j)
+        return int(self.base[(j // self.L) * self.B + self.off
+                             + (j % self.L)])
+
+
 def make_grain_loader(dataset, batch_size: int, *, shuffle: bool = False,
                       seed: int = 0, num_epochs: int | None = 1,
                       worker_count: int = 0, drop_remainder: bool = True,
-                      read_buffer: int = 64, cropped: bool = False) -> Any:
+                      read_buffer: int = 64, cropped: bool = False,
+                      process_shard=None) -> Any:
     """An iterable of collated batch dicts over ``dataset`` (TopDownDataset).
 
     worker_count=0 runs in-process (tests); >0 spawns grain worker processes.
+
+    ``process_shard``: optional (process_id, num_processes) multi-host DP
+    slicing — yields LOCAL batches of ``batch_size / num_processes`` rows,
+    each the process's contiguous slice of the corresponding global batch
+    (the ``BatchLoader`` contract). Requires ``drop_remainder`` (a partial
+    global batch has no well-defined local slice) and single-epoch
+    iteration (``fit`` re-creates the loader per epoch).
     """
     import grain
 
     ds = grain.MapDataset.range(len(dataset))
     if shuffle:
         ds = ds.shuffle(seed=seed)
+    local_batch = batch_size
+    if process_shard is not None:
+        pid, nproc = process_shard
+        if not 0 <= pid < nproc:
+            raise ValueError(f"bad process_shard {process_shard}")
+        if batch_size % nproc:
+            raise ValueError(f"global batch {batch_size} not divisible by "
+                             f"{nproc} processes")
+        if not drop_remainder or num_epochs != 1:
+            raise ValueError("process_shard requires drop_remainder=True "
+                             "and num_epochs=1")
+        local_batch = batch_size // nproc
+        n_local = (len(dataset) // batch_size) * local_batch
+        ds = grain.MapDataset.range(n_local).map(
+            _ShardIndex(ds, batch_size, pid, nproc))
     if num_epochs is None:
         ds = ds.repeat()
     elif num_epochs > 1:
@@ -49,7 +100,7 @@ def make_grain_loader(dataset, batch_size: int, *, shuffle: bool = False,
     it = ds.to_iter_dataset(
         grain.ReadOptions(num_threads=max(1, read_buffer // 16),
                           prefetch_buffer_size=read_buffer))
-    it = it.batch(batch_size, drop_remainder=drop_remainder)
+    it = it.batch(local_batch, drop_remainder=drop_remainder)
     if worker_count > 0:
         it = it.mp_prefetch(
             grain.MultiprocessingOptions(num_workers=worker_count))
@@ -66,12 +117,13 @@ class GrainBatchLoader:
     """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
-                 seed: int = 0, num_workers: int = 0):
+                 seed: int = 0, num_workers: int = 0, process_shard=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.num_workers = num_workers
+        self.process_shard = process_shard
         self.epoch = 0
         self._skip = 0                # one-shot mid-epoch resume offset
 
@@ -97,14 +149,17 @@ class GrainBatchLoader:
             self.dataset, self.batch_size, shuffle=self.shuffle,
             # fresh seed per epoch mirrors BatchLoader's epoch reshuffle
             seed=self.seed + self.epoch, num_epochs=1,
-            worker_count=self.num_workers, drop_remainder=True)
+            worker_count=self.num_workers, drop_remainder=True,
+            process_shard=self.process_shard)
         self.epoch += 1
         skip, self._skip = self._skip, 0
+        local = self.batch_size if self.process_shard is None \
+            else self.batch_size // self.process_shard[1]
         for i, batch in enumerate(loader):
             if i < skip:
                 continue
             batch = dict(batch)
-            batch["num_valid"] = np.int32(self.batch_size)
+            batch["num_valid"] = np.int32(local)
             yield batch
 
 

@@ -142,3 +142,54 @@ def test_fit_with_grain_loader(tmp_path):
                       output_dir=str(tmp_path / "out"), num_workers=2,
                       max_epochs=1, mesh=make_mesh(1))
     assert int(state.step) == len(train_ds) // 2
+
+
+def test_process_shard_reassembles_global_batches(ds):
+    """Multi-host grain sharding (VERDICT round-4 item 6): every process
+    evaluates the same seed-pinned global order; concatenating the
+    per-process local batches in process order must reproduce the
+    UNSHARDED loader's global batches bit for bit — the contract
+    device_prefetch's make_array_from_process_local_data assembly relies
+    on, and the same one BatchLoader(process_shard=) provides."""
+    B, nproc = 4, 2
+    global_batches = [b["image_id"].tolist() for b in make_grain_loader(
+        ds, B, shuffle=True, seed=7, drop_remainder=True)]
+    shards = [[b["image_id"].tolist() for b in make_grain_loader(
+        ds, B, shuffle=True, seed=7, drop_remainder=True,
+        process_shard=(p, nproc))] for p in range(nproc)]
+    assert len(shards[0]) == len(shards[1]) == len(global_batches) >= 1
+    for g, s0, s1 in zip(global_batches, *shards):
+        assert len(s0) == len(s1) == B // nproc
+        assert s0 + s1 == g            # contiguous within-batch slices
+    # full pixel equality on one batch, not just ids
+    g0 = next(iter(make_grain_loader(ds, B, shuffle=True, seed=7,
+                                     drop_remainder=True)))
+    parts = [next(iter(make_grain_loader(ds, B, shuffle=True, seed=7,
+                                         drop_remainder=True,
+                                         process_shard=(p, nproc))))
+             for p in range(nproc)]
+    np.testing.assert_array_equal(
+        np.concatenate([p["image"] for p in parts]), g0["image"])
+
+
+def test_process_shard_validation(ds):
+    with pytest.raises(ValueError, match="divisible"):
+        make_grain_loader(ds, 3, drop_remainder=True, process_shard=(0, 2))
+    with pytest.raises(ValueError, match="drop_remainder"):
+        make_grain_loader(ds, 2, drop_remainder=False, process_shard=(0, 2))
+    with pytest.raises(ValueError, match="process_shard"):
+        make_grain_loader(ds, 2, drop_remainder=True, process_shard=(2, 2))
+
+
+def test_grain_batch_loader_sharded_epochs(ds):
+    """GrainBatchLoader(process_shard=): local batch sizing, num_valid,
+    and the epoch-reshuffle contract hold under sharding."""
+    from rsgnet_tpu.data.grain_pipeline import GrainBatchLoader
+    full = GrainBatchLoader(ds, batch_size=2, shuffle=True, num_workers=0)
+    half = GrainBatchLoader(ds, batch_size=2, shuffle=True, num_workers=0,
+                            process_shard=(1, 2))
+    assert len(half) == len(full) == len(ds) // 2
+    e_full = [b["image_id"].tolist() for b in full]
+    e_half = [b["image_id"].tolist() for b in half]
+    assert all(len(b) == 1 for b in e_half)
+    assert [b[1:] for b in e_full] == e_half    # process 1 owns row 1

@@ -178,3 +178,26 @@ def test_two_process_fit_matches_single_process(tmp_path):
                          for x in leaves))
     np.testing.assert_allclose(seen[0][0], checksum, rtol=1e-5)
     np.testing.assert_allclose(seen[0][1], best, rtol=0, atol=1e-9)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("RSGNET_SLOW_TESTS"),
+    reason="~3 min of real 2-process Gloo; the grain process-shard "
+           "CONTRACT (global-batch bit-identity) is default-tier in "
+           "test_grain_pipeline.py — this run proves the fit() plumbing "
+           "(RSGNET_SLOW_TESTS=1)")
+def test_two_process_fit_with_grain_loader(tmp_path):
+    """TRAIN.LOADER=grain under 2 real processes: fit builds the
+    process-sharded grain loader (VERDICT round-4 item 6) and both ranks
+    finish with identical params + perf — one SPMD program fed by grain's
+    per-process slices of the common shuffled order."""
+    from tests.fixtures.synthetic_coco import make_dataset, write_fixture
+
+    root = tmp_path / "coco_grain"
+    write_fixture(str(root), make_dataset())
+    worker = os.path.join(REPO, "tests", "worker_fit.py")
+    seen = _run_workers(worker,
+                        [str(root), str(tmp_path / "out_mp"), "grain"],
+                        "FIT")
+    np.testing.assert_allclose(seen[0], seen[1], rtol=0, atol=0)
+    assert (tmp_path / "out_mp" / "checkpoint.msgpack").exists()

@@ -7,7 +7,7 @@ via validate_distributed, and writes checkpoints from process 0 only.
 Prints the final params checksum + best perf for the parent to compare
 against the single-process 8-device run of the identical config.
 
-argv: pid nproc port fixture_root out_dir
+argv: pid nproc port fixture_root out_dir [loader]
 """
 import os
 import sys
@@ -17,6 +17,7 @@ nproc = int(sys.argv[2])
 port = sys.argv[3]
 fixture_root = sys.argv[4]
 out_dir = sys.argv[5]
+loader = sys.argv[6] if len(sys.argv) > 6 else "threads"
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
@@ -47,14 +48,19 @@ def params_checksum(state):
 def main():
     assert jax.process_count() == nproc
     cfg = make_fit_cfg()
+    cfg.TRAIN.LOADER = loader
     model = get_pose_net(cfg)
     train_ds = get_dataset(cfg, root=fixture_root, image_set="val",
                            is_train=True)
     train_ds.db = (train_ds.db * 3)[:8]
     val_ds = get_dataset(cfg, root=fixture_root, image_set="val",
                          is_train=False)
+    # grain: worker_count=0 keeps it in-process — this 1-core box cannot
+    # absorb 2 fit processes x N grain spawns, and the sharding contract
+    # under test is index arithmetic, not decode parallelism
     state, best = fit(cfg, model, train_ds, val_ds, output_dir=out_dir,
-                      max_epochs=1, num_workers=2)
+                      max_epochs=1,
+                      num_workers=0 if loader == "grain" else 2)
     print(f"FIT[{pid}]: {params_checksum(state):.6f} {best:.6f}",
           flush=True)
 
