@@ -101,7 +101,21 @@ _SECTION_METRICS = {
     "e2e": "coco_val_e2e_eval_images_per_sec_per_chip",
     "full": "coco_val_e2e_full_images_per_sec_per_chip",
     "res50": "res50_e2e_eval_images_per_sec_per_chip",
+    # Non-default sections (BASELINE configs 3-4; VERDICT round-4 item 5):
+    # not in _SECTION_ORDER — the driver budget cannot fit them — but
+    # runnable any round via `python bench.py --section w48` etc., so the
+    # per-config tables in BENCH_NOTES stay cheap to refresh.
+    "w48": "w48_384_e2e_eval_images_per_sec_per_chip",
+    "w48_train": "w48_384_train_step_images_per_sec_per_chip",
+    "crowdpose": "crowdpose_e2e_eval_images_per_sec_per_chip",
+    "crowdpose_train": "crowdpose_train_step_images_per_sec_per_chip",
 }
+# Per-config A100 denominators, FLOPs-scaled from the fixed W32 estimates
+# (HRNet-paper GFLOPs: W32@256x192 = 7.1, W48@384x288 = 32.9; the
+# CrowdPose model is the same backbone+input as W32, graph head ~2%).
+_W48_SCALE = 7.1 / 32.9
+A100_REF_W48_EVAL = A100_REF_IMAGES_PER_SEC * _W48_SCALE          # 172.6
+A100_REF_W48_TRAIN = A100_REF_TRAIN_IMAGES_PER_SEC * _W48_SCALE   # 86.3
 # Headline first (the driver-recorded metric must be banked before anything
 # expensive can hang); train is the costliest compile so it goes last among
 # the aux sections — a spent budget then skips it loudly instead of eating
@@ -186,7 +200,7 @@ def bench_headline(fast=False):
 
 def bench_e2e(cfg=None, model=None, variables=None,
               metric="coco_val_e2e_eval_images_per_sec_per_chip",
-              b=128):
+              b=128, denom=None):
     """True end-to-end eval throughput: 640^2 uint8 sources, fused device
     warp -> forward -> flip-test -> decode. Small (coords) outputs, so
     materializing them is an honest fence.
@@ -221,11 +235,13 @@ def bench_e2e(cfg=None, model=None, variables=None,
     dt = time.perf_counter() - t0
     assert all(np.isfinite(p).all() for p, _ in sink)
     ips = b * iters / dt
+    denom = denom or A100_REF_IMAGES_PER_SEC
     print(json.dumps({
         "metric": metric,
         "value": round(ips, 2),
-        "unit": "images/sec/chip (640^2 src device-warp + flip-test + decode)",
-        "vs_baseline": round(ips / A100_REF_IMAGES_PER_SEC, 3),
+        "unit": f"images/sec/chip (640^2 src device-warp + flip-test + "
+                f"decode; vs est. {denom:.1f} img/s A100)",
+        "vs_baseline": round(ips / denom, 3),
     }))
 
 
@@ -326,7 +342,8 @@ def bench_e2e_full():
     }))
 
 
-def bench_train():
+def bench_train(cfg=None, metric="train_step_images_per_sec_per_chip",
+                denom=A100_REF_TRAIN_IMAGES_PER_SEC, b=128):
     """FULL train step (on-device shear-warp aug from 640^2 uint8 sources +
     fwd + bwd + fused optimizer update), pipelined: the state threads on
     device and ONE loss scalar is materialized at the end — matching how
@@ -348,15 +365,17 @@ def bench_train():
     from rsgnet_tpu.data.skeletons import get_spec
     from rsgnet_tpu.models import get_pose_net
 
-    cfg = rsgnet_w32_256x192()
+    if cfg is None:
+        cfg = rsgnet_w32_256x192()
     model = get_pose_net(cfg)
 
-    b, src, iters = 128, 640, 10
+    src, iters = 640, 10
+    k = cfg.MODEL.NUM_JOINTS
     rng = np.random.RandomState(2)
     imgs = [jnp.asarray(rng.randint(0, 255, (b, src, src, 3), np.uint8))
             for _ in range(2)]
-    joints = jnp.asarray(rng.uniform(150, 450, (b, 17, 2)).astype(np.float32))
-    vis = jnp.asarray((rng.uniform(size=(b, 17)) > 0.2).astype(np.float32))
+    joints = jnp.asarray(rng.uniform(150, 450, (b, k, 2)).astype(np.float32))
+    vis = jnp.asarray((rng.uniform(size=(b, k)) > 0.2).astype(np.float32))
     centers = jnp.asarray(rng.uniform(200, 440, (b, 2)).astype(np.float32))
     scales = jnp.asarray(np.stack([rng.uniform(0.8, 1.5, b) * 0.75,
                                    rng.uniform(0.8, 1.5, b)],
@@ -365,7 +384,7 @@ def bench_train():
                 "center": centers, "scale": scales} for x in imgs]
     key = jax.random.PRNGKey(0)
     state = create_train_state(cfg, model, jax.random.PRNGKey(0))
-    step = make_train_step(cfg, model, get_spec("coco"))
+    step = make_train_step(cfg, model, get_spec(cfg.DATASET.DATASET))
     # the ONE shared implementation of the pipelined scalar-fetch protocol
     # (tools/_profiling.py) — duplicating it here risks silent divergence
     sys.path.insert(0, os.path.join(_HERE, "tools"))
@@ -375,12 +394,61 @@ def bench_train():
                                batch=b)
     ips = b / dt
     print(json.dumps({
-        "metric": "train_step_images_per_sec_per_chip",
+        "metric": metric,
         "value": round(ips, 2),
-        "unit": "images/sec/chip (B=128: device aug 640^2 + fwd+bwd+update; "
-                "vs est. 400 img/s A100 fp32 train)",
-        "vs_baseline": round(ips / A100_REF_TRAIN_IMAGES_PER_SEC, 3),
+        "unit": f"images/sec/chip (B={b}: device aug 640^2 + "
+                f"fwd+bwd+update; vs est. {denom:.1f} img/s A100 fp32 "
+                "train)",
+        "vs_baseline": round(ips / denom, 3),
     }))
+
+
+def bench_w48(train=False):
+    """BASELINE config 3 (HRNet-W48 @ 384x288, DARK decode) on the e2e /
+    train protocols at its measured batch optimum B=128 (BENCH_NOTES
+    round-3 sweep). vs_baseline uses the FLOPs-scaled per-config
+    denominators documented at _SECTION_METRICS."""
+    import jax
+    import numpy as np
+
+    from rsgnet_tpu.config.defaults import w48_384x288
+    from rsgnet_tpu.models import get_pose_net, init_variables
+
+    cfg = w48_384x288()
+    if train:
+        bench_train(cfg=cfg, metric=_SECTION_METRICS["w48_train"],
+                    denom=A100_REF_W48_TRAIN, b=128)
+        return
+    model = get_pose_net(cfg)
+    h, w = cfg.MODEL.IMAGE_SIZE[1], cfg.MODEL.IMAGE_SIZE[0]
+    variables = init_variables(model, jax.random.PRNGKey(0),
+                               np.zeros((1, h, w, 3), np.float32))
+    bench_e2e(cfg, model, variables, metric=_SECTION_METRICS["w48"],
+              b=128, denom=A100_REF_W48_EVAL)
+
+
+def bench_crowdpose(train=False):
+    """BASELINE config 4 (CrowdPose RSGNet-W32 @ 256x192, 14 keypoints,
+    relation/skeleton-graph head ON) at its B=128 optimum. Same 800/400
+    denominators as W32-COCO (same backbone+input; the graph head adds
+    ~2% FLOPs)."""
+    import jax
+    import numpy as np
+
+    from rsgnet_tpu.config.defaults import crowdpose_rsgnet_w32
+    from rsgnet_tpu.models import get_pose_net, init_variables
+
+    cfg = crowdpose_rsgnet_w32()
+    if train:
+        bench_train(cfg=cfg, metric=_SECTION_METRICS["crowdpose_train"],
+                    denom=A100_REF_TRAIN_IMAGES_PER_SEC, b=128)
+        return
+    model = get_pose_net(cfg)
+    h, w = cfg.MODEL.IMAGE_SIZE[1], cfg.MODEL.IMAGE_SIZE[0]
+    variables = init_variables(model, jax.random.PRNGKey(0),
+                               np.zeros((1, h, w, 3), np.float32))
+    bench_e2e(cfg, model, variables, metric=_SECTION_METRICS["crowdpose"],
+              b=128)
 
 
 def _run_child_section(name, fast=False):
@@ -409,6 +477,14 @@ def _run_child_section(name, fast=False):
         bench_e2e_full()
     elif name == "res50":
         bench_res50()
+    elif name == "w48":
+        bench_w48()
+    elif name == "w48_train":
+        bench_w48(train=True)
+    elif name == "crowdpose":
+        bench_crowdpose()
+    elif name == "crowdpose_train":
+        bench_crowdpose(train=True)
     else:
         raise SystemExit(f"unknown section {name!r}")
 

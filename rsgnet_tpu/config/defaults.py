@@ -217,6 +217,14 @@ class TestConfig:
     # "shear"     = roll-decomposed two-pass (ops/shear_warp.py)
     # "pallas"    = the two-pass warp fused in one VMEM kernel
     #               (ops/pallas/shear_warp.py)
+    # Eval-time BatchNorm folding (models/fold_bn.py): fold every ConvBN
+    # pair's BN affine into the conv kernel before the eval loop — exact up
+    # to fp32 rounding, same jitted program. Default OFF pending the on-chip
+    # A/B (tools/profile_fold_bn.py; result recorded in BENCH_NOTES round
+    # 5): XLA already fuses the eval BN affine into the conv's output
+    # fusion, so the expected outcome is neutral — the knob exists to close
+    # the question with a measurement rather than an assumption.
+    FOLD_BN: bool = False
     # "auto"      = currently "separable" on every backend.
     # Default: "separable" — MEASURED on chip (tools/profile_eval_warp.py,
     # 3 interleaved rounds @B=128, uncontended host): separable 1934-1952

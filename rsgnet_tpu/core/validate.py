@@ -60,6 +60,11 @@ def collect_predictions(cfg: Config, dataset, model, variables,
     n_dev = mesh.size if mesh is not None else 1
     batch_size = (batch_size or cfg.TEST.BATCH_SIZE_PER_GPU) * n_dev
     host_crop = pipeline == "host"
+    if cfg.TEST.FOLD_BN and variables is not None:
+        # host-side, once, before the loop: the SAME jitted program serves
+        # folded and unfolded variables (models/fold_bn.py)
+        from rsgnet_tpu.models.fold_bn import fold_bn_variables
+        variables = fold_bn_variables(variables)
     if cfg.TEST.LOADER == "grain":
         from rsgnet_tpu.data.grain_pipeline import GrainEvalLoader
         loader = GrainEvalLoader(dataset, batch_size,

@@ -27,6 +27,18 @@ from rsgnet_tpu.config.defaults import Config
 from rsgnet_tpu.core.inference import make_inference_fn
 
 
+def _maybe_fold(cfg, variables):
+    """TEST.FOLD_BN at export time: the fold happens BEFORE the weights are
+    baked in as constants, so the artifact carries pre-scaled kernels
+    (models/fold_bn.py; measured-neutral live — the knob is honored here
+    for config parity, not as a speed claim)."""
+    if cfg.TEST.FOLD_BN:
+        from rsgnet_tpu.models.fold_bn import fold_bn_variables
+        import jax as _jax
+        variables = fold_bn_variables(_jax.device_get(variables))
+    return variables
+
+
 def export_inference(cfg: Config, model, variables, platforms=None,
                      normalize_input=False):
     """Serialize the full inference pipeline to StableHLO bytes.
@@ -43,6 +55,7 @@ def export_inference(cfg: Config, model, variables, platforms=None,
     """
     infer = make_inference_fn(cfg, model, jit=False,
                               normalize_input=normalize_input)
+    variables = _maybe_fold(cfg, variables)
 
     def serve(images, centers, scales):
         return infer(variables, images, centers, scales)
@@ -70,6 +83,7 @@ def export_e2e(cfg: Config, model, variables, src_size, platforms=None):
     """
     from rsgnet_tpu.core.inference import make_e2e_fn
     e2e = make_e2e_fn(cfg, model, src_size, jit=False)
+    variables = _maybe_fold(cfg, variables)
 
     def serve(images, centers, scales):
         return e2e(variables, images, centers, scales)
