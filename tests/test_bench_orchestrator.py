@@ -20,7 +20,10 @@ HEADLINE = "coco_val_topdown_inference_images_per_sec_per_chip"
 
 
 def _run(fault="", timeout_s="4", budget="60", last_good="/dev/null"):
-    env = dict(os.environ,
+    from tests._subproc import strip_axon_site
+    # fake children never import jax; the stripped site hook saves ~2s of
+    # startup per spawned interpreter (~6 per _run)
+    env = dict(strip_axon_site(),
                RSGNET_BENCH_FAKE="1",
                RSGNET_BENCH_FAULT=fault,
                RSGNET_BENCH_SECTION_TIMEOUT=timeout_s,

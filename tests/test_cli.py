@@ -12,7 +12,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_tool(args, timeout=900):
-    env = dict(os.environ)
+    from tests._subproc import strip_axon_site
+    env = strip_axon_site()               # ~2s/interpreter site hook, unused on cpu
     env["RSGNET_FORCE_PLATFORM"] = "cpu"
     env["JAX_PLATFORMS"] = "cpu"
     # fresh interpreters share the suite's persistent compile cache
@@ -147,7 +148,8 @@ def test_serve_cli(fixture_root, tmp_path):
     import numpy as np
 
     cfg = write_tiny_yaml(tmp_path / "tiny.yaml", fixture_root)
-    env = dict(os.environ)
+    from tests._subproc import strip_axon_site
+    env = strip_axon_site()
     env.update(RSGNET_FORCE_PLATFORM="cpu", JAX_PLATFORMS="cpu",
                JAX_COMPILATION_CACHE_DIR=os.path.join(
                    REPO, ".jax_compile_cache"),

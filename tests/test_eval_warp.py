@@ -15,6 +15,8 @@ Covers:
 - make_e2e_fn honors TEST.WARP end-to-end (incl. "auto" trace-time backend
   resolution and ValueError on unknown values), single-device and mesh.
 """
+import os
+
 import numpy as np
 import pytest
 
@@ -174,11 +176,9 @@ def test_e2e_fn_pallas_on_mesh_zero_collectives():
     assert np.isfinite(np.asarray(p)).all()
 
 
-def test_train_step_pallas_on_mesh_runs():
-    """TRAIN.WARP='pallas' + mesh: the step runs sharded (shard_map'd warp)
-    and produces a finite loss. (Collective volume for the DP contract is
-    pinned by test_dp_hlo for the default warp; here we pin that the pallas
-    path introduces no all-gathers.)"""
+def _pallas_step_harness():
+    """Shared setup for the pallas-warp DP tests below (the step build is
+    the expensive part — one full sharded train-step compile each)."""
     from rsgnet_tpu.core.train import create_train_state, make_train_step
     from rsgnet_tpu.data.skeletons import get_spec
     from rsgnet_tpu.models import get_pose_net
@@ -205,18 +205,42 @@ def test_train_step_pallas_on_mesh_runs():
     }
     state = jax.device_put(
         create_train_state(cfg, model, jax.random.PRNGKey(0)), repl)
-    step = jax.jit(make_train_step(cfg, model, spec, jit=False, mesh=mesh),
-                   in_shardings=(repl, {kk: shard for kk in batch}, repl))
+
+    def build(with_mesh):
+        return jax.jit(
+            make_train_step(cfg, model, spec, jit=False,
+                            mesh=mesh if with_mesh else None),
+            in_shardings=(repl, {kk: shard for kk in batch}, repl))
+
+    return build, state, batch
+
+
+def test_train_step_pallas_on_mesh_runs():
+    """TRAIN.WARP='pallas' + mesh: the step runs sharded (shard_map'd warp)
+    and produces a finite loss with ZERO all-gathers. (Collective volume
+    for the DP contract is pinned by test_dp_hlo for the default warp.)"""
+    build, state, batch = _pallas_step_harness()
+    step = build(with_mesh=True)
     hlo = step.lower(state, batch, jax.random.PRNGKey(1)).compile().as_text()
     assert hlo.count("all-gather") == 0, hlo.count("all-gather")
     new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))
 
-    # the same step built WITHOUT the mesh threaded through (the round-3
-    # 'forgotten mesh=' hazard): the custom_partitioning wrapper keeps the
-    # pallas warp per-shard — still zero all-gathers, same loss.
-    step_nm = jax.jit(make_train_step(cfg, model, spec, jit=False),
-                      in_shardings=(repl, {kk: shard for kk in batch}, repl))
+
+@pytest.mark.skipif(
+    not os.environ.get("RSGNET_SLOW_TESTS"),
+    reason="a second full sharded train-step compile (~15s) for the "
+           "no-mesh calling convention; the custom_partitioning property "
+           "it pins is covered op-level in the default tier "
+           "(test_partitioning.py, test_pallas_dark.py) — "
+           "RSGNET_SLOW_TESTS=1 runs the full-step cross-check")
+def test_train_step_pallas_no_mesh_partitioner_matches():
+    """The round-3 'forgotten mesh=' hazard at full-step scope: the step
+    built WITHOUT mesh= threaded through must keep the pallas warp
+    per-shard (zero all-gathers) and produce the identical loss."""
+    build, state, batch = _pallas_step_harness()
+    metrics = build(with_mesh=True)(state, batch, jax.random.PRNGKey(1))[1]
+    step_nm = build(with_mesh=False)
     hlo_nm = step_nm.lower(
         state, batch, jax.random.PRNGKey(1)).compile().as_text()
     assert hlo_nm.count("all-gather") == 0, hlo_nm.count("all-gather")

@@ -14,6 +14,7 @@ tree. These tests pin:
 - the block-diagonal kernel identity itself
 """
 import copy
+import os
 
 import numpy as np
 import jax
@@ -92,6 +93,12 @@ def test_param_tree_identity_and_eval_forward(flagship):
         np.testing.assert_allclose(gv, wv, atol=2e-5 * scale)
 
 
+@pytest.mark.skipif(
+    not os.environ.get("RSGNET_SLOW_TESTS"),
+    reason="~28s train-mode parity for a DEFAULT-OFF execution strategy "
+           "(FUSE_MERGED measured negative on chip, BENCH_NOTES round 4); "
+           "eval parity + init identity stay default-tier — "
+           "RSGNET_SLOW_TESTS=1 runs the grads/BN-stats pass")
 def test_train_mode_outputs_stats_and_grads_match():
     cfg = _tiny_cfg(train=True)
     model, model_m = _pair(cfg)

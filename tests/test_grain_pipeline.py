@@ -1,4 +1,6 @@
 """grain input-pipeline tests on the synthetic fixture."""
+import os
+
 import numpy as np
 import pytest
 
@@ -42,6 +44,11 @@ def test_multi_epoch(ds):
     assert len(list(loader)) == 3
 
 
+@pytest.mark.skipif(
+    not os.environ.get("RSGNET_SLOW_TESTS"),
+    reason="~13s of grain process spawns; the pickling-into-workers "
+           "coverage is redundant with test_fit_with_grain_loader "
+           "(num_workers=2 there) — RSGNET_SLOW_TESTS=1 runs this too")
 def test_multiprocess_workers(ds):
     """worker_count > 0: _SampleMap + dataset must survive pickling into
     grain's worker processes."""

@@ -67,7 +67,8 @@ def _run_workers(worker, extra_args, tag):
     pairs, and assert success. Kills stragglers on timeout so a hung Gloo
     handshake can't leak processes holding the coordinator port."""
     port = _free_port()
-    env = {k: v for k, v in os.environ.items()
+    from tests._subproc import strip_axon_site
+    env = {k: v for k, v in strip_axon_site().items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     procs = [subprocess.Popen(
         [sys.executable, worker, str(i), "2", str(port)] + extra_args,

@@ -29,8 +29,16 @@ import numpy as np
 import _init_paths  # noqa: F401
 
 
-def run_level(batcher, image_shape, clients: int, seconds: float):
-    """Closed-loop: ``clients`` threads, one in-flight request each."""
+def run_level(batcher, image_shape, clients: int, seconds: float,
+              timeout_s: float = 120.0):
+    """Closed-loop: ``clients`` threads, one in-flight request each.
+
+    Admission-control aware (VERDICT round-4 item 3): a shed submit
+    (``QueueFullError``) backs off by the server's retry estimate and is
+    counted, a deadline-expired request is counted — both re-enter the
+    closed loop, so goodput/latency describe ADMITTED work while the shed
+    columns expose how much load the bound turned away."""
+    from rsgnet_tpu.serving import DeadlineExceededError, QueueFullError
     rng = np.random.default_rng(0)
     h, w, _ = image_shape
     img = rng.integers(0, 256, (1, h, w, 3), dtype=np.uint8)
@@ -38,15 +46,26 @@ def run_level(batcher, image_shape, clients: int, seconds: float):
     scale = np.full((1, 2), 1.0, np.float32)
     stop = time.perf_counter() + seconds
     lats, lock = [], threading.Lock()
+    counts = {"shed": 0, "expired": 0}
 
     def client():
-        mine = []
+        mine, shed, expired = [], 0, 0
         while time.perf_counter() < stop:
             t0 = time.perf_counter()
-            batcher.predict(img, center, scale, timeout=120)
+            try:
+                batcher.predict(img, center, scale, timeout=timeout_s)
+            except QueueFullError as e:
+                shed += 1
+                time.sleep(min(e.retry_after_s, 0.5))
+                continue
+            except DeadlineExceededError:
+                expired += 1
+                continue
             mine.append(time.perf_counter() - t0)
         with lock:
             lats.extend(mine)
+            counts["shed"] += shed
+            counts["expired"] += expired
 
     threads = [threading.Thread(target=client) for _ in range(clients)]
     t0 = time.perf_counter()
@@ -55,11 +74,12 @@ def run_level(batcher, image_shape, clients: int, seconds: float):
     for t in threads:
         t.join()
     dt = time.perf_counter() - t0
-    lat = np.asarray(lats)
+    lat = np.asarray(lats) if lats else np.zeros(1)
     return {"clients": clients, "responses": len(lats),
             "goodput_rps": len(lats) / dt,
             "p50_ms": float(np.percentile(lat, 50) * 1e3),
-            "p95_ms": float(np.percentile(lat, 95) * 1e3)}
+            "p95_ms": float(np.percentile(lat, 95) * 1e3),
+            "shed": counts["shed"], "expired": counts["expired"]}
 
 
 def main():
@@ -70,6 +90,12 @@ def main():
     p.add_argument("--seconds", type=float, default=8.0)
     p.add_argument("--max-wait-ms", type=float, default=8.0)
     p.add_argument("--in-flight", type=int, default=3)
+    p.add_argument("--max-queued", type=int, default=0,
+                   help="admission control: max queued instances (0 = "
+                        "unbounded, the pre-round-5 behavior)")
+    p.add_argument("--timeout-s", type=float, default=120.0,
+                   help="per-request deadline (dispatch-time drops count "
+                        "as expired)")
     p.add_argument("--tiny", action="store_true",
                    help="tiny model (CPU smoke); default flagship W32")
     p.add_argument("--ab-split", action="store_true",
@@ -108,17 +134,20 @@ def main():
 
     def level(c, label=""):
         batcher = DynamicBatcher(engine, max_wait_ms=args.max_wait_ms,
-                                 in_flight=args.in_flight)
-        r = run_level(batcher, image_shape, c, args.seconds)
+                                 in_flight=args.in_flight,
+                                 max_queued=args.max_queued or None)
+        r = run_level(batcher, image_shape, c, args.seconds,
+                      timeout_s=args.timeout_s)
         batcher.close()
         st = batcher.stats()
         print(f"{r['clients']:>8} {r['goodput_rps']:>10.1f} "
               f"{r['p50_ms']:>8.1f} {r['p95_ms']:>8.1f} "
-              f"{st['mean_batch_fill']:>6.1f} {st['batches']:>8}  {label}",
+              f"{st['mean_batch_fill']:>6.1f} {st['batches']:>8} "
+              f"{r['shed']:>6} {r['expired']:>7}  {label}",
               flush=True)
 
     print(f"{'clients':>8} {'goodput':>10} {'p50 ms':>8} {'p95 ms':>8} "
-          f"{'fill':>6} {'batches':>8}")
+          f"{'fill':>6} {'batches':>8} {'shed':>6} {'expired':>7}")
     for c in (int(x) for x in args.clients.split(",")):
         if args.ab_split:
             engine.bucket_cost = {}          # split disabled (old policy)
