@@ -58,7 +58,11 @@ def fold_bn_variables(variables, eps: float = BN_EPS):
         nonlocal n_folded
         if not isinstance(p, dict):
             return p, s
-        new_p, new_s = {}, {}
+        new_p = {}
+        # seed the stats result with EVERY original stats key: stats-only
+        # subtrees (a skipped BN's mean/var, anything params-free) survive
+        # untouched; recursion below only REPLACES entries that get folded
+        new_s = dict(s) if isinstance(s, dict) else s
         for key, child in p.items():
             child_s = s.get(key, {}) if isinstance(s, dict) else {}
             if _is_convbn(child, child_s):
@@ -79,20 +83,14 @@ def fold_bn_variables(variables, eps: float = BN_EPS):
                                    var=np.full_like(var, 1.0 - eps))
                 # recurse into any OTHER children of this node (e.g. a
                 # downsample block living beside conv/bn)
-                rest_p, rest_s = {}, {}
                 for k2, v2 in child.items():
                     if k2 in ("conv", "bn"):
                         continue
-                    rp, rs = walk({k2: v2},
-                                  {k2: child_s.get(k2, {})}
+                    rp, rs = walk(v2, child_s.get(k2, {})
                                   if isinstance(child_s, dict) else {})
-                    rest_p.update(rp)
-                    rest_s.update(rs)
-                sub_p.update(rest_p)
-                for k2, v2 in (child_s.items()
-                               if isinstance(child_s, dict) else ()):
-                    if k2 != "bn":
-                        sub_s[k2] = rest_s.get(k2, v2)
+                    sub_p[k2] = rp
+                    if isinstance(child_s, dict) and k2 in child_s:
+                        sub_s[k2] = rs
                 new_p[key], new_s[key] = sub_p, sub_s
                 n_folded += 1
             else:

@@ -145,8 +145,13 @@ class DynamicBatcher:
                      np.asarray(scales, np.float32), n, Future(),
                      deadline=deadline)
         with self._lock:
+            # bound on what is ALREADY waiting — never on the incoming
+            # request's own size, so any legal (<= max_batch) request is
+            # admittable on an idle server even when max_queued < max_batch
+            # (the queue can overshoot by at most one request, standard
+            # bounded-queue semantics)
             if (self.max_queued is not None
-                    and self._queued_n + n > self.max_queued):
+                    and self._queued_n >= self.max_queued):
                 self._n_rejected += 1
                 raise QueueFullError(self._queued_n, self.max_queued,
                                      self._retry_after_locked())

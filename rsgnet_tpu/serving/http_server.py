@@ -75,22 +75,18 @@ def make_server(batcher: DynamicBatcher, host: str = "127.0.0.1",
             logging.getLogger("rsgnet_tpu.serving").debug(
                 "%s - %s", self.address_string(), fmt % args)
 
-        def _reply(self, code: int, body: bytes, ctype: str):
+        def _reply(self, code: int, body: bytes, ctype: str, headers=()):
             self.send_response(code)
             self.send_header("Content-Type", ctype)
-            self.send_header("Content-Length", str(len(body)))
-            self.end_headers()
-            self.wfile.write(body)
-
-        def _reply_json(self, code: int, obj, headers=()):
-            body = json.dumps(obj).encode()
-            self.send_response(code)
-            self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
             for k, v in headers:
                 self.send_header(k, v)
             self.end_headers()
             self.wfile.write(body)
+
+        def _reply_json(self, code: int, obj, headers=()):
+            self._reply(code, json.dumps(obj).encode(), "application/json",
+                        headers)
 
         def _reply_shed(self, e: QueueFullError):
             """503 + Retry-After: the admission-control response. The

@@ -105,3 +105,42 @@ def test_validate_honors_fold_bn_flag(tmp_path):
     np.testing.assert_array_equal(ids0, ids1)
     np.testing.assert_array_equal(boxes0, boxes1)
     np.testing.assert_allclose(preds1, preds0, atol=5e-3)   # sub-pixel
+
+
+def test_skipped_convbn_keeps_batch_stats():
+    """Review finding (round 5): a conv/bn pair the fold SKIPS (conv has
+    its own bias — e.g. pose_resnet EXTRA.DECONV_WITH_BIAS=True) must keep
+    its running stats intact; an early version of the walk dropped every
+    stats leaf whose key had no params sibling."""
+    variables = {
+        "params": {
+            "deconv0": {"conv": {"kernel": np.ones((3, 3, 4, 4), np.float32),
+                                 "bias": np.zeros((4,), np.float32)},
+                        "bn": {"scale": np.full((4,), 2.0, np.float32),
+                               "bias": np.zeros((4,), np.float32)}},
+            "cb": {"conv": {"kernel": np.ones((1, 1, 4, 4), np.float32)},
+                   "bn": {"scale": np.full((4,), 2.0, np.float32),
+                          "bias": np.zeros((4,), np.float32)}},
+        },
+        "batch_stats": {
+            "deconv0": {"bn": {"mean": np.full((4,), 0.5, np.float32),
+                               "var": np.full((4,), 2.0, np.float32)}},
+            "cb": {"bn": {"mean": np.full((4,), 0.5, np.float32),
+                          "var": np.full((4,), 2.0, np.float32)}},
+        },
+    }
+    folded = fold_bn_variables(variables)
+    # the biased pair is untouched — params AND stats
+    np.testing.assert_array_equal(
+        folded["params"]["deconv0"]["conv"]["kernel"],
+        variables["params"]["deconv0"]["conv"]["kernel"])
+    np.testing.assert_array_equal(
+        folded["batch_stats"]["deconv0"]["bn"]["mean"],
+        variables["batch_stats"]["deconv0"]["bn"]["mean"])
+    np.testing.assert_array_equal(
+        folded["batch_stats"]["deconv0"]["bn"]["var"],
+        variables["batch_stats"]["deconv0"]["bn"]["var"])
+    # the unbiased pair IS folded
+    assert float(folded["params"]["cb"]["conv"]["kernel"][0, 0, 0, 0]) != 1.0
+    assert float(folded["batch_stats"]["cb"]["bn"]["mean"][0]) == 0.0
+    assert count_convbn(variables) == 1

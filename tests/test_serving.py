@@ -697,3 +697,20 @@ def test_http_times_out_504(served):
         server.shutdown()
         server.server_close()
         batcher.close()
+
+
+def test_admission_bounds_waiting_not_request_size(served):
+    """Review finding (round 5): max_queued bounds what is ALREADY
+    waiting — a legal single request larger than max_queued must be
+    admitted on an idle server (the old check compared queued + n against
+    the bound and rejected it forever)."""
+    serve_fn, image_shape, _ = served
+    eng = ServingEngine(serve_fn, buckets=(1, 2, 4, 8),
+                        image_shape=image_shape, image_dtype=np.uint8)
+    rng = np.random.default_rng(25)
+    with DynamicBatcher(eng, max_wait_ms=1.0, max_queued=2) as b:
+        req = random_request(rng, image_shape, 6)     # 6 > max_queued 2
+        want_p, want_m = direct(serve_fn, req)
+        got_p, got_m = b.predict(*req, timeout=300)
+    np.testing.assert_allclose(got_p, want_p, atol=1e-5)
+    np.testing.assert_allclose(got_m, want_m, atol=1e-5)

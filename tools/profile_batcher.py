@@ -38,6 +38,8 @@ def run_level(batcher, image_shape, clients: int, seconds: float,
     counted, a deadline-expired request is counted — both re-enter the
     closed loop, so goodput/latency describe ADMITTED work while the shed
     columns expose how much load the bound turned away."""
+    from concurrent.futures import TimeoutError as FutureTimeoutError
+
     from rsgnet_tpu.serving import DeadlineExceededError, QueueFullError
     rng = np.random.default_rng(0)
     h, w, _ = image_shape
@@ -58,7 +60,10 @@ def run_level(batcher, image_shape, clients: int, seconds: float,
                 shed += 1
                 time.sleep(min(e.retry_after_s, 0.5))
                 continue
-            except DeadlineExceededError:
+            except (DeadlineExceededError, FutureTimeoutError):
+                # dispatch-time drop OR a host-side result() timeout (the
+                # request was taken just before its deadline and finished
+                # after) — either way the client counts it and loops on
                 expired += 1
                 continue
             mine.append(time.perf_counter() - t0)
