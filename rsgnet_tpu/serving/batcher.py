@@ -160,6 +160,41 @@ class DynamicBatcher:
         self._q.put(p)
         return p.future
 
+    def submit_many(self, requests, timeout_s: float | None = None):
+        """Atomically admit a GROUP of requests (e.g. one frame's
+        over-max_batch chunk list): either every chunk enqueues or none
+        does (``QueueFullError``), so a shed can never leave a frame's
+        earlier chunks consuming device time for a response that will
+        never be assembled. Admission uses the same already-waiting bound
+        as ``submit`` — the group counts as one overshoot. Returns the
+        futures in request order."""
+        if self._closed:
+            raise RuntimeError("batcher is closed")
+        pendings = []
+        deadline = (time.perf_counter() + timeout_s
+                    if timeout_s is not None else None)
+        for images, centers, scales in requests:
+            n = self.engine.validate(images, centers, scales)
+            if n > self.max_batch:
+                raise ValueError(f"request has {n} instances > max_batch "
+                                 f"{self.max_batch}; split it client-side")
+            pendings.append(_Pending(
+                np.asarray(images), np.asarray(centers, np.float32),
+                np.asarray(scales, np.float32), n, Future(),
+                deadline=deadline))
+        total = sum(p.n for p in pendings)
+        with self._lock:
+            if (self.max_queued is not None
+                    and self._queued_n >= self.max_queued):
+                self._n_rejected += len(pendings)
+                raise QueueFullError(self._queued_n, self.max_queued,
+                                     self._retry_after_locked())
+            self._n_requests += len(pendings)
+            self._queued_n += total
+        for p in pendings:
+            self._q.put(p)
+        return [p.future for p in pendings]
+
     def _retry_after_locked(self) -> float:
         """Estimate (holding ``self._lock``) of when queue capacity frees:
         queued work / measured throughput. Falls back to the recent p50

@@ -192,15 +192,15 @@ def make_server(batcher: DynamicBatcher, host: str = "127.0.0.1",
             try:
                 # one frame may hold more people than max_batch: split into
                 # batcher-legal requests; they pipeline through the same
-                # coalescer and come back in order. All-or-nothing
-                # admission: a shed on any chunk sheds the frame (the
-                # already-queued chunks still run; their futures are
-                # simply not awaited — their deadline bounds the waste)
-                futures, m = [], batcher.max_batch
-                for i in range(0, len(crops), m):
-                    futures.append(batcher.submit(
-                        crops[i:i + m], centers[i:i + m], scales[i:i + m],
-                        timeout_s=request_timeout_s))
+                # coalescer and come back in order. Admission is ATOMIC
+                # over the whole frame (submit_many): a shed frame costs
+                # zero device time instead of leaving its earlier chunks
+                # computing a response nobody can assemble
+                m = batcher.max_batch
+                reqs = [(crops[i:i + m], centers[i:i + m], scales[i:i + m])
+                        for i in range(0, len(crops), m)]
+                futures = batcher.submit_many(reqs,
+                                              timeout_s=request_timeout_s)
                 parts = [f.result(timeout=request_timeout_s)
                          for f in futures]
             except QueueFullError as e:

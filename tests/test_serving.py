@@ -714,3 +714,37 @@ def test_admission_bounds_waiting_not_request_size(served):
         got_p, got_m = b.predict(*req, timeout=300)
     np.testing.assert_allclose(got_p, want_p, atol=1e-5)
     np.testing.assert_allclose(got_m, want_m, atol=1e-5)
+
+
+def test_submit_many_atomic_admission(served):
+    """submit_many: a frame's chunk list admits whole or sheds whole —
+    a shed frame costs ZERO device time (no earlier-chunk orphans)."""
+    from rsgnet_tpu.serving import QueueFullError
+    eng, gate, image_shape = _gated_engine(served, buckets=(1, 2))
+    rng = np.random.default_rng(26)
+    b = DynamicBatcher(eng, max_wait_ms=1.0, in_flight=1, max_queued=1)
+    try:
+        f1 = b.submit(*random_request(rng, image_shape, 1))
+        _wait_queue_drained(b)          # device slot held
+        f2 = b.submit(*random_request(rng, image_shape, 1))   # queue at cap
+        reqs = [random_request(rng, image_shape, 2) for _ in range(3)]
+        with pytest.raises(QueueFullError):
+            b.submit_many(reqs, timeout_s=60)
+        st = b.stats()
+        assert st["queued_instances"] == 1      # nothing partially enqueued
+        assert st["rejected"] == 3              # every chunk counted shed
+        gate.set()
+        f1.result(timeout=300)
+        f2.result(timeout=300)
+        # with capacity back, the same group admits whole and matches the
+        # direct calls
+        futs = b.submit_many(reqs, timeout_s=300)
+        for f, r in zip(futs, reqs):
+            want_p, want_m = direct(served[0], r)
+            got_p, got_m = f.result(timeout=300)
+            np.testing.assert_allclose(got_p, want_p, atol=1e-5)
+            np.testing.assert_allclose(got_m, want_m, atol=1e-5)
+        assert b.stats()["queued_instances"] == 0
+    finally:
+        gate.set()
+        b.close()
