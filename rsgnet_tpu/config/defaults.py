@@ -219,11 +219,12 @@ class TestConfig:
     #               (ops/pallas/shear_warp.py)
     # Eval-time BatchNorm folding (models/fold_bn.py): fold every ConvBN
     # pair's BN affine into the conv kernel before the eval loop — exact up
-    # to fp32 rounding, same jitted program. Default OFF pending the on-chip
-    # A/B (tools/profile_fold_bn.py; result recorded in BENCH_NOTES round
-    # 5): XLA already fuses the eval BN affine into the conv's output
-    # fusion, so the expected outcome is neutral — the knob exists to close
-    # the question with a measurement rather than an assumption.
+    # to fp32 rounding, same jitted program. Default OFF: measured NEUTRAL
+    # on chip (0.998x, 3 interleaved rounds — BENCH_NOTES round 5,
+    # tools/profile_fold_bn.py): XLA already fuses the eval BN affine into
+    # the conv's output fusion, so the fold removes no HBM pass. The knob
+    # closes the question with a measurement; see the BENCH_NOTES numerics
+    # note before enabling on a bf16 serving path.
     FOLD_BN: bool = False
     # "auto"      = currently "separable" on every backend.
     # Default: "separable" — MEASURED on chip (tools/profile_eval_warp.py,

@@ -109,7 +109,13 @@ def main():
                         "(same engine, same compiles)")
     args = p.parse_args()
 
+    import os
+
     import jax
+
+    from rsgnet_tpu.utils.compile_cache import wire
+    wire(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_serve_cache"))
     from rsgnet_tpu.config.defaults import rsgnet_w32_256x192, tiny_rsgnet
     from rsgnet_tpu.core.inference import make_inference_fn
     from rsgnet_tpu.models import get_pose_net, init_variables

@@ -37,6 +37,11 @@ def main():
                     help="use the e2e protocol (device warp included)")
     args = ap.parse_args()
 
+    import os
+    from rsgnet_tpu.utils.compile_cache import wire
+    wire(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_compile_cache"))
+
     cfg = rsgnet_w32_256x192()
     model = get_pose_net(cfg)
     h, w = cfg.MODEL.IMAGE_SIZE[1], cfg.MODEL.IMAGE_SIZE[0]
