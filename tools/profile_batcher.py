@@ -52,13 +52,21 @@ def run_level(batcher, image_shape, clients: int, seconds: float,
 
     def client():
         mine, shed, expired = [], 0, 0
+        backoff = 0.0
         while time.perf_counter() < stop:
             t0 = time.perf_counter()
             try:
                 batcher.predict(img, center, scale, timeout=timeout_s)
             except QueueFullError as e:
+                # a well-behaved client (or load balancer) honors
+                # Retry-After and backs off EXPONENTIALLY on repeated
+                # sheds — fixed-interval retries from hundreds of shed
+                # clients are a retry storm that starves the dispatcher
+                # thread on this 1-core host (measured: goodput -> 0 at
+                # 256 clients; BENCH_NOTES round 5)
                 shed += 1
-                time.sleep(min(e.retry_after_s, 0.5))
+                backoff = min(max(e.retry_after_s, 2 * backoff, 0.05), 4.0)
+                time.sleep(backoff)
                 continue
             except (DeadlineExceededError, FutureTimeoutError):
                 # dispatch-time drop OR a host-side result() timeout (the
@@ -66,6 +74,7 @@ def run_level(batcher, image_shape, clients: int, seconds: float,
                 # after) — either way the client counts it and loops on
                 expired += 1
                 continue
+            backoff = 0.0
             mine.append(time.perf_counter() - t0)
         with lock:
             lats.extend(mine)
